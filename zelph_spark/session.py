@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Defaults follow the scale posture in SURVEY.md §4: AQE on (runtime re-plan +
+skew-join splitting for hub entities like P31), Arrow on (all Python-side
+batch work goes through vectorized pandas UDFs), shuffle partitions sized to
+the local core count rather than the 200 default. On a real cluster the same
+builder is used via ``spark-submit --py-files``; only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "zelph-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback ``*``)
+    so the bench harness can run the identical job at two parallelism levels
+    to evidence scaling efficiency (BASELINE.md targets).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("ZELPH_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
