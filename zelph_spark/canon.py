@@ -1,0 +1,167 @@
+"""Stage 3 — entity canonicalization via distributed connected components.
+
+Replicates the *semantics* of zelph's merge machinery — ``Network::merge``
+(``network.hpp:212-294``: transfer every edge from one node onto another,
+reconcile probabilities, drop the source) and name-conflict merging in
+``set_name(merge_on_conflict)`` (``zelph_names.cpp:63-179``) — as a
+relational pipeline: build a ``merge_map(node -> canon)`` by connected
+components over same-as pairs, then relabel the edge table with two hash
+joins and re-deduplicate.
+
+The components algorithm is alternating min-label propagation with pointer
+jumping (label(n) <- label(label(n)) each round), the iterative hash-join
+union-find pattern from the BTS line of work cited in SURVEY.md §2.2 F11:
+O(log n) rounds, each round = one shuffle on node id, localCheckpoint per
+round to cut lineage. At 100 TB the same-as pair set is tiny relative to the
+edge table, so the expensive part is the final relabel joins — those hash on
+subj/obj, and the merge_map side is broadcastable in all realistic cases.
+
+Probability reconciliation on collapsed duplicate edges follows
+``network.hpp:241-254`` exactly: both >= 0.5 -> max, both <= 0.5 -> min,
+strictly mixed -> conflict (reference throws; we emit a conflicts DataFrame —
+the distributed-friendly equivalent of the exception, same information).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """pairs(a, b) -> (node, comp) where comp = min node id reachable.
+
+    Works for any orderable id type (long or string). Converges in
+    O(log n) rounds via min-propagation + pointer jumping.
+    """
+    sym = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # min over neighbours' current labels
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp <- comp's comp
+        l2 = new_labels.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        jumped = (
+            new_labels.join(l2, new_labels.comp == l2.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def merge_map_from_pairs(pairs: DataFrame) -> DataFrame:
+    """same-as pairs -> merge_map(node, canon), rows only where node != canon
+    (canon = component minimum, mirroring merge-into-the-surviving-node)."""
+    comp = connected_components(pairs)
+    return comp.filter(F.col("node") != F.col("comp")).select(
+        "node", F.col("comp").alias("canon")
+    )
+
+
+def name_conflict_pairs(names: DataFrame) -> DataFrame:
+    """Same (lang, name) on two nodes -> same-as pair, zelph's
+    merge_on_conflict trigger (``zelph_names.cpp:87-179``)."""
+    grouped = names.groupBy("lang", "name").agg(
+        F.min("node").alias("a"), F.collect_set("node").alias("nodes")
+    )
+    return (
+        grouped.select("a", F.explode("nodes").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+
+
+def relabel_edges(
+    edges: DataFrame, merge_map: DataFrame, broadcast_map: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Apply merge_map to (subj, pred, obj [, prob]) edges; returns
+    (canonical_edges, prob_conflicts).
+
+    Two left joins + coalesce per role column, then the network.hpp:241-254
+    probability reconciliation on rows that collapsed together.
+    """
+    mm = F.broadcast(merge_map) if broadcast_map else merge_map
+    out = edges
+    for role in ("subj", "pred", "obj"):
+        m = mm.select(
+            F.col("node").alias(f"_{role}_old"),
+            F.col("canon").alias(f"_{role}_new"),
+        )
+        out = (
+            out.join(m, out[role] == m[f"_{role}_old"], "left")
+            .withColumn(role, F.coalesce(f"_{role}_new", role))
+            .drop(f"_{role}_old", f"_{role}_new")
+        )
+    if "prob" not in out.columns:
+        return out.distinct(), edges.sparkSession.createDataFrame(
+            [], "subj string, pred string, obj string"
+        )
+    merged = out.groupBy("subj", "pred", "obj").agg(
+        F.min(F.coalesce("prob", F.lit(1.0))).alias("pmin"),
+        F.max(F.coalesce("prob", F.lit(1.0))).alias("pmax"),
+    )
+    conflicts = merged.filter(
+        (F.col("pmin") < 0.5) & (F.col("pmax") > 0.5)
+    ).select("subj", "pred", "obj")
+    resolved = merged.filter(
+        ~((F.col("pmin") < 0.5) & (F.col("pmax") > 0.5))
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(F.col("pmax") >= 0.5, F.col("pmax"))
+        .otherwise(F.col("pmin"))
+        .alias("prob"),
+    )
+    return resolved, conflicts
+
+
+def sameas_pairs_from_triples(
+    triples: DataFrame, sameas_pred: str = "P2888"
+) -> DataFrame:
+    """Explicit same-as assertions (P2888 exact-match style claims)."""
+    return triples.filter(F.col("pred") == sameas_pred).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b")
+    )
