@@ -1,0 +1,178 @@
+"""Bench harness (driver contract + scaling evidence).
+
+Default mode: run the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The e2e pipeline query synthesizes an interleaved spans corpus sized to the
+SF (distributed generator — never on the driver), runs extract -> link ->
+canonicalize -> materialize -> reason with per-stage checkpoints, and
+reports docs/sec.
+
+``--scaling`` mode: run the SAME e2e job at two parallelism levels
+(local[8] vs local[32] — the sandbox stand-in for N vs 4N executors,
+BASELINE.md targets) in separate JVMs and print throughput at both plus
+scaling efficiency = (t_low / t_high) / (cores_high / cores_low).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        return 0.0
+
+
+def run_e2e_pipeline(
+    spark, sf: float, n_docs: int | None = None, reason: bool = True
+) -> dict:
+    from zelph_spark import datagen
+    from zelph_spark.pipeline import run_pipeline
+
+    if n_docs is None:
+        n_docs = max(2000, int(200_000 * sf))
+    docs = datagen.synthetic_corpus(spark, n_docs=n_docs, seed=42)
+    # ZELPH_SCALE_STORE=0: in-memory stage checkpoints instead of parquet —
+    # isolates compute scaling from the sandbox's single local disk (a real
+    # cluster's object store scales with executors; /tmp does not)
+    use_store = os.environ.get("ZELPH_SCALE_STORE", "1") != "0"
+    root = tempfile.mkdtemp(prefix="zelph_bench_") if use_store else None
+    try:
+        t0 = time.time()
+        res = run_pipeline(spark, docs, root, reason=reason)
+        n_edges = res.edges.count()
+        n_sat = res.saturated.count()
+        dt = time.time() - t0
+    finally:
+        if root:
+            shutil.rmtree(root, ignore_errors=True)
+    return {
+        "sec": dt,
+        "n_docs": n_docs,
+        "docs_per_sec": n_docs / dt,
+        "edges": n_edges,
+        "saturated": n_sat,
+    }
+
+
+HEADLINE = [
+    "kg_reason_taxonomy",
+    "kg_closure",
+    "kg_components",
+    "kg_extract_roundtrip",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats",
+    "sim_topk",
+    "events_sessionize",
+]
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from zelph_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="zelph-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, int(cpus) if cpus.isdigit() else 32),
+    )
+    sf = _sf_from_dir(sf_dir)
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+    e2e = run_e2e_pipeline(spark, sf)
+    qtimes["e2e_pipeline"] = round(e2e["sec"], 3)
+    total = round(sum(qtimes.values()), 3)
+    out = {
+        "metric": "zelph_spark_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "n_docs": e2e["n_docs"],
+        "docs_per_sec": round(e2e["docs_per_sec"], 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    if "--one-scale" in sys.argv:
+        # child process of --scaling: e2e pipeline only, fixed corpus size
+        cpus = sys.argv[sys.argv.index("--one-scale") + 1]
+        n_docs = int(sys.argv[sys.argv.index("--n-docs") + 1])
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from zelph_spark.session import get_spark
+
+        spark = get_spark(
+            app_name=f"zelph-scale-{cpus}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(8, int(cpus)),
+        )
+        reason = os.environ.get("ZELPH_SCALE_REASON", "1") != "0"
+        res = run_e2e_pipeline(
+            spark, _sf_from_dir(sf_dir), n_docs=n_docs, reason=reason
+        )
+        spark.stop()
+        print("SCALE_RESULT " + json.dumps(res))
+        return
+
+    if "--scaling" in sys.argv:
+        # same job, same input, two parallelism levels, fresh JVM each
+        n_docs = int(os.environ.get("ZELPH_SCALE_DOCS", "20000"))
+        lows, highs = "8", "32"
+        results = {}
+        for c in (lows, highs):
+            p = subprocess.run(
+                [sys.executable, __file__, "--one-scale", c, "--n-docs", str(n_docs)],
+                capture_output=True, text=True, env=os.environ,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("SCALE_RESULT ")]
+            if not line:
+                print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"scaling child local[{c}] failed")
+            results[c] = json.loads(line[0][len("SCALE_RESULT "):])
+        t_low, t_high = results[lows]["sec"], results[highs]["sec"]
+        ratio = int(highs) / int(lows)
+        eff = (t_low / t_high) / ratio
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": f"speedup/(cores ratio {int(ratio)}x)",
+            "n_docs": n_docs,
+            f"local[{lows}]": {"sec": round(t_low, 2),
+                               "docs_per_sec": round(results[lows]["docs_per_sec"], 1)},
+            f"local[{highs}]": {"sec": round(t_high, 2),
+                                "docs_per_sec": round(results[highs]["docs_per_sec"], 1)},
+        }))
+        return
+
+    print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

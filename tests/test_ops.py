@@ -1,0 +1,175 @@
+"""Training-data ops: dedup family, similarity search, text analysis,
+multimodal plumbing. Uses the driver testdata at sf0.001 (read-only)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zelph_spark.ops import dedup, multimodal, similarity, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_count_matches_python(docs):
+    got = {r.doc_id: r.n_tokens for r in textops.with_token_count(docs).collect()}
+    for r in docs.limit(20).collect():
+        assert got[r.doc_id] == len(r.text.lower().split())
+
+
+def test_quality_and_fingerprint_deterministic(docs):
+    q1 = {r.doc_id: (r.quality, r.fingerprint) for r in textops.with_fingerprint(
+        textops.with_quality_score(docs)).collect()}
+    q2 = {r.doc_id: (r.quality, r.fingerprint) for r in textops.with_fingerprint(
+        textops.with_quality_score(docs)).collect()}
+    assert q1 == q2
+    assert all(0.0 <= q <= 1.0 for q, _ in q1.values())
+
+
+def test_langid_picks_en_for_stopword_text(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat sat on the mat and it is a cat",
+                "el gato y la casa de los perros en un dia",
+                "xyzzy plugh qwerty",
+            ],
+        })
+    )
+    got = {r.doc_id: r.lang_pred for r in textops.with_langid(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["same text", "same text", "other", "same text"],
+        })
+    )
+    got = dedup.exact_duplicates(df).collect()
+    assert len(got) == 1 and got[0].n_docs == 3 and got[0].keep_id == 1
+
+
+DUP_DOCS = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4],
+    "text": [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy dog near the river bend",
+        "a completely different document about spark query engines and joins",
+        "the quick brown fox jumps over the lazy dog near the river bank",
+    ],
+})
+
+
+def test_jaccard_pairs_finds_near_dups(spark):
+    df = spark.createDataFrame(DUP_DOCS)
+    sh = dedup.word_shingles(df, n=2)
+    pairs = {(r.a, r.b): r.jaccard for r in dedup.jaccard_pairs(sh, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_estimates_match_exact_jaccard(spark):
+    df = spark.createDataFrame(DUP_DOCS)
+    sh = dedup.word_shingles(df, n=2)
+    sig = dedup.minhash_signatures(sh, num_hashes=64)
+    got = {(r.a, r.b): r.est_jaccard for r in dedup.minhash_lsh_pairs(
+        sig, bands=16, threshold=0.4).collect()}
+    exact = {(r.a, r.b): r.jaccard for r in dedup.jaccard_pairs(sh, threshold=0.0).collect()}
+    assert got[(1, 4)] == 1.0
+    assert abs(got[(1, 2)] - exact[(1, 2)]) < 0.25  # 64-hash estimator noise
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_near_pairs(spark):
+    df = spark.createDataFrame(DUP_DOCS)
+    sims = dedup.simhash(df)
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_near_pairs(
+        sims, max_hamming=8).collect()}
+    assert pairs.get((1, 4)) == 0  # identical text -> identical simhash
+    assert (1, 2) in pairs  # one word changed -> small distance
+    assert not any(3 in p for p in pairs)
+
+
+def test_topk_bruteforce_is_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    got = similarity.topk_bruteforce(emb, q, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rn, r.neighbor_id, r.cos))
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        rows.sort()
+        assert len(rows) == 5
+        cosines = [c for _, _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+
+
+def test_lsh_recall_against_bruteforce(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.topk_bruteforce(emb, q, k=3)
+    approx = similarity.topk_lsh(emb, q, k=3, n_planes=4, n_tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # per-plane agreement ~0.6 on 64-dim gaussians -> per-table ~0.13,
+    # 8 tables -> ~1-(1-.13)^8 ~ 0.67 expected candidate recall
+    assert recall >= 0.4
+    # every approx hit must be a genuine vector pair with correct cosine sign
+    assert all(rn <= 3 for rn in [r.rn for r in approx.collect()])
+
+
+def test_ivf_assignment_partitions_all_vectors(spark, emb):
+    assigned, cents = similarity.ivf_assign(emb, n_centroids=8)
+    assert assigned.count() == emb.count()
+    assert assigned.select("centroid_id").distinct().count() <= 8
+
+
+def test_embedding_near_dup_pairs_self_consistency(spark, emb):
+    # duplicate a vector under a new id -> must be found with cos ~ 1
+    dup = emb.limit(1).withColumn("vec_id", F.lit(999999))
+    both = emb.unionByName(dup)
+    pairs = similarity.embedding_near_dup_pairs(both, threshold=0.999)
+    hits = [r for r in pairs.collect() if r.b == 999999]
+    assert len(hits) == 1 and hits[0].cos >= 0.999
+
+
+def test_multimodal_plumbing(spark, fixture_docs_df):
+    media = multimodal.synth_media(fixture_docs_df).cache()
+    assert media.count() > 0
+    decoded = multimodal.decode_image(media)
+    rows = decoded.collect()
+    imgs = [r for r in rows if r.media_type == "image/png"]
+    assert imgs and all(r.decoder == "stub-sha256" for r in imgs)
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in imgs)
+    others = [r for r in rows if not r.media_type.startswith("image/")]
+    assert all(r.decoder == "skip" and r.features is None for r in others)
+    # deterministic features
+    again = {r.media_ref: r.features for r in multimodal.decode_image(media).collect()}
+    assert all(again[r.media_ref] == r.features for r in imgs)
+    # resize plan preserves aspect and caps the long side
+    rp = multimodal.resize_plan(media, max_side=128)
+    for r in rp.collect():
+        assert max(r.target_width, r.target_height) <= 128 + 1
+    # frame sampling emits one row per second of video
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    vids = {r.media_ref: r.duration_ms for r in media.filter(
+        F.col("media_type") == "video/mp4").collect()}
+    cnt = {r[0]: r[1] for r in frames.groupBy("media_ref").count().collect()}
+    for ref, dur in vids.items():
+        assert cnt[ref] == max(1, dur // 1000)

@@ -1,0 +1,115 @@
+"""Dump source, export sinks, maintenance operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from zelph_spark import datagen, maintenance
+from zelph_spark.rules import P
+from zelph_spark.sources import dump, sinks
+
+
+def _dump_file(tmp_path):
+    lines = [datagen.render_line(e) for e in datagen.fixture_entities()]
+    f = tmp_path / "dump.json"
+    f.write_text("[\n" + ",\n".join(lines) + "\n]\n")
+    return str(f)
+
+
+def test_dump_import_matches_golden(spark, tmp_path):
+    path = _dump_file(tmp_path)
+    lines = dump.read_dump_lines(spark, path)
+    ex = dump.extract_from_dump(lines)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in ex.filter(F.col("row_kind") == "triple").collect()
+    }
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in datagen.fixture_golden_triples().itertuples()
+    }
+    assert got == want
+
+
+def test_export_entities_filters_lines(spark, tmp_path):
+    path = _dump_file(tmp_path)
+    lines = dump.read_dump_lines(spark, path)
+    out = dump.export_entities(lines, ["Q100", "Q5"]).collect()
+    assert len(out) == 2
+    assert all('"id":"Q100"' in r.line or '"id":"Q5"' in r.line for r in out)
+
+
+def test_taxonomy_export_filtered(spark, tmp_path):
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "b"), ("b", "root"), ("x", "y")], columns=["subj", "obj"]
+        )
+    )
+    out = tmp_path / "tax"
+    sinks.export_taxonomy_json(edges, str(out), roots=["root"])
+    back = spark.read.json(str(out))
+    got = {(r.subj, r.obj) for r in back.collect()}
+    assert got == {("a", "root"), ("b", "root")}
+
+
+def test_deduction_report(spark):
+    ded = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "P31", "b")] * 3 + [("a", "P279", "c")],
+            columns=["subj", "pred", "obj"],
+        )
+    )
+    con = spark.createDataFrame(
+        [("c-isa-cycle", {"A": "a", "B": "b"})],
+        "rule_id string, bindings map<string,string>",
+    )
+    text = sinks.deduction_report(ded, con)
+    assert "| P31 | 3 |" in text and "| c-isa-cycle | 1 |" in text
+
+
+def test_remove_and_isolated_and_purge(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y")],
+            columns=["subj", "pred", "obj"],
+        )
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame(
+            {"node": ["a", "b", "c", "x", "y", "p", "q", "zombie"],
+             "kind": ["entity"] * 5 + ["predicate"] * 2 + ["entity"]}
+        )
+    )
+    kept = maintenance.remove_nodes(
+        edges, spark.createDataFrame(pd.DataFrame({"node": ["x"]}))
+    )
+    assert {(r.subj, r.obj) for r in kept.collect()} == {("a", "b"), ("b", "c")}
+    iso = maintenance.isolated_nodes(nodes, kept)
+    assert {r.node for r in iso.collect()} == {"x", "y", "q", "zombie"}
+    purged = maintenance.purge_unused_predicates(nodes, kept)
+    assert {r.node for r in purged.collect()} == {
+        "a", "b", "c", "x", "y", "p", "zombie"
+    }
+    names = spark.createDataFrame(
+        pd.DataFrame({"node": ["a", "zombie"], "lang": ["en", "en"],
+                      "name": ["A", "Z"]})
+    )
+    cleaned = maintenance.cleanup_names(names, kept)
+    assert {r.node for r in cleaned.collect()} == {"a"}
+
+
+def test_prune_by_pattern(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "p", "b"), ("b", "p", "c"), ("a", "q", "b")],
+            columns=["subj", "pred", "obj"],
+        )
+    )
+    kept, removed = maintenance.prune_by_pattern(
+        edges, [P("?X", "p", "?Y")], target=0
+    )
+    assert {(r.subj, r.pred, r.obj) for r in removed.collect()} == {
+        ("a", "p", "b"), ("b", "p", "c")
+    }
+    assert {(r.subj, r.pred, r.obj) for r in kept.collect()} == {("a", "q", "b")}

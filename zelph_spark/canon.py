@@ -35,6 +35,9 @@ def connected_components(
     Works for any orderable id type (long or string). Converges in
     O(log n) rounds via min-propagation + pointer jumping.
     """
+    if pairs.isEmpty():
+        t = pairs.schema["a"].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame([], f"node {t}, comp {t}")
     sym = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -120,20 +123,23 @@ def relabel_edges(
     (canonical_edges, prob_conflicts).
 
     Two left joins + coalesce per role column, then the network.hpp:241-254
-    probability reconciliation on rows that collapsed together.
+    probability reconciliation on rows that collapsed together. An empty
+    merge map (common at scale: few merges) skips the three joins but keeps
+    the dedup/reconciliation semantics.
     """
-    mm = F.broadcast(merge_map) if broadcast_map else merge_map
     out = edges
-    for role in ("subj", "pred", "obj"):
-        m = mm.select(
-            F.col("node").alias(f"_{role}_old"),
-            F.col("canon").alias(f"_{role}_new"),
-        )
-        out = (
-            out.join(m, out[role] == m[f"_{role}_old"], "left")
-            .withColumn(role, F.coalesce(f"_{role}_new", role))
-            .drop(f"_{role}_old", f"_{role}_new")
-        )
+    if not merge_map.isEmpty():
+        mm = F.broadcast(merge_map) if broadcast_map else merge_map
+        for role in ("subj", "pred", "obj"):
+            m = mm.select(
+                F.col("node").alias(f"_{role}_old"),
+                F.col("canon").alias(f"_{role}_new"),
+            )
+            out = (
+                out.join(m, out[role] == m[f"_{role}_old"], "left")
+                .withColumn(role, F.coalesce(f"_{role}_new", role))
+                .drop(f"_{role}_old", f"_{role}_new")
+            )
     if "prob" not in out.columns:
         return out.distinct(), edges.sparkSession.createDataFrame(
             [], "subj string, pred string, obj string"
@@ -156,6 +162,20 @@ def relabel_edges(
         .alias("prob"),
     )
     return resolved, conflicts
+
+
+def relabel_column(
+    df: DataFrame, col: str, merge_map: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
+    """Rewrite one id column through the merge map (names table, mention
+    tables, ... — anything that references node ids)."""
+    mm = F.broadcast(merge_map) if broadcast_map else merge_map
+    m = mm.select(F.col("node").alias("_old"), F.col("canon").alias("_new"))
+    return (
+        df.join(m, df[col] == m["_old"], "left")
+        .withColumn(col, F.coalesce("_new", col))
+        .drop("_old", "_new")
+    )
 
 
 def sameas_pairs_from_triples(

@@ -1,0 +1,126 @@
+"""Transitive closure + property paths (SURVEY.md §2.5 C1-C4, §2.6 Q12).
+
+zelph computes per-predicate closures with level-synchronous BFS over a
+cached per-predicate index (``zelph.cpp:267-296`` transitive_targets/sources,
+``zelph.cpp:49-80`` bfs_over_index, two-stage index strategy
+``zelph.cpp:44-47``). The Spark lowering is an iterative frontier self-join
+over the predicate slice with early dedup (SURVEY.md §7 hard-part 4):
+
+    frontier' = (frontier ⋈ base) \\ reached
+
+Two expansion strategies, mirroring the direct-scan-vs-index adaptivity:
+- ``linear``  — one hop per round (BFS analog): cheapest per round, rounds =
+  longest path; right when graphs are shallow (taxonomies).
+- ``doubling``— reach ⋈ reach per round: O(log diameter) rounds for deep
+  chains at the cost of a larger build side.
+
+Every round localCheckpoints (lineage cut) and dedups *before* expanding —
+hub fan-out otherwise explodes the frontier. The per-predicate input should
+come from :func:`zelph_spark.graph.edges_for_pred` so the scan is
+bucket-pruned; the joins themselves shuffle on the frontier key and AQE
+splits skewed hubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PAIR = ["subj", "obj"]
+
+
+def transitive_closure(
+    pairs: DataFrame, method: str = "linear", max_iter: int = 64
+) -> DataFrame:
+    """All (subj, obj) with a directed path subj ->+ obj ('+' closure)."""
+    base = pairs.select(*PAIR).distinct().localCheckpoint()
+    reach = base
+    frontier = base
+    for _ in range(max_iter):
+        left = reach if method == "doubling" else frontier
+        # rename the build side instead of DataFrame aliases: frontier and
+        # base can be the SAME checkpointed plan, and alias-based self-joins
+        # hit attribute-reuse resolution failures (key not found: subj#N)
+        right = (reach if method == "doubling" else base).select(
+            F.col("subj").alias("_rs"), F.col("obj").alias("_ro")
+        )
+        step = (
+            left.join(right, left["obj"] == right["_rs"])
+            .select("subj", F.col("_ro").alias("obj"))
+            .distinct()
+        )
+        new = step.join(reach, on=PAIR, how="left_anti").localCheckpoint()
+        if new.isEmpty():
+            return reach
+        reach = reach.unionByName(new).localCheckpoint()
+        frontier = new
+    return reach
+
+
+def closure_with_start(pairs: DataFrame) -> DataFrame:
+    """'*' closure: '+' closure ∪ identity over every node present
+    (include_start=True in zelph.cpp:267-296; SPARQL p* vs p+)."""
+    plus = transitive_closure(pairs)
+    nodes = (
+        pairs.select("subj").union(pairs.select(F.col("obj").alias("subj"))).distinct()
+    )
+    ident = nodes.select("subj", F.col("subj").alias("obj"))
+    return plus.unionByName(ident).distinct()
+
+
+def transitive_targets(
+    pairs: DataFrame,
+    start: DataFrame,
+    include_start: bool = False,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Forward closure from a seed set (zelph.cpp:267-281): returns
+    (start, target) rows. ``start`` is a one-column DF named 'node'."""
+    base = pairs.select(*PAIR).distinct().localCheckpoint()
+    frontier = (
+        start.select(F.col("node").alias("subj"))
+        .distinct()
+        .join(base, on="subj")
+        .select(F.col("subj").alias("start"), F.col("obj").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = frontier
+    for _ in range(max_iter):
+        step = (
+            frontier.join(base, frontier.node == base.subj)
+            .select("start", F.col("obj").alias("node"))
+            .distinct()
+        )
+        new = step.join(visited, on=["start", "node"], how="left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new
+    if include_start:
+        seeds = start.select(
+            F.col("node").alias("start"), F.col("node").alias("node")
+        )
+        visited = visited.unionByName(seeds).distinct()
+    return visited
+
+
+def transitive_sources(pairs: DataFrame, start: DataFrame, **kw) -> DataFrame:
+    """Backward closure (zelph.cpp:283-296): swap edge direction."""
+    rev = pairs.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    out = transitive_targets(rev, start, **kw)
+    return out
+
+
+def path_sequence(edge_slices: list[DataFrame]) -> DataFrame:
+    """SPARQL sequence path p1/p2/.../pn (sparql.zph:792-811): chained joins
+    through generated intermediates; each element is a (subj, obj) slice
+    (possibly itself a closure)."""
+    acc = edge_slices[0].select(*PAIR)
+    for nxt in edge_slices[1:]:
+        right = nxt.select(F.col("subj").alias("_rs"), F.col("obj").alias("_ro"))
+        acc = (
+            acc.join(right, acc["obj"] == right["_rs"])
+            .select("subj", F.col("_ro").alias("obj"))
+            .distinct()
+        )
+    return acc

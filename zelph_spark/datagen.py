@@ -35,44 +35,65 @@ import pandas as pd
 # ---------------------------------------------------------------------------
 
 
-def _render_snak(prop: str, snak: tuple) -> str:
+def _render_snak_body(prop: str, snak: tuple) -> str:
+    """The snak object itself ({"snaktype":...}) — shared by mainsnaks and
+    qualifier snaks."""
     kind = snak[0]
     if kind == "item":
         qid = snak[1]
         numeric = qid[1:] if qid[1:].isdigit() else "0"
         return (
-            '{"mainsnak":{"snaktype":"value","property":"%s","datavalue":'
+            '{"snaktype":"value","property":"%s","datavalue":'
             '{"value":{"entity-type":"item","numeric-id":%s,"id":"%s"},'
-            '"type":"wikibase-entityid"},"datatype":"wikibase-item"},'
-            '"type":"statement","rank":"normal"}' % (prop, numeric, qid)
+            '"type":"wikibase-entityid"},"datatype":"wikibase-item"}'
+            % (prop, numeric, qid)
         )
     if kind in ("somevalue", "novalue"):
         return (
-            '{"mainsnak":{"snaktype":"%s","property":"%s",'
-            '"datatype":"wikibase-item"},"type":"statement","rank":"normal"}'
+            '{"snaktype":"%s","property":"%s","datatype":"wikibase-item"}'
             % (kind, prop)
         )
     if kind == "string":
         return (
-            '{"mainsnak":{"snaktype":"value","property":"%s","datavalue":'
-            '{"value":%s,"type":"string"},"datatype":"string"},'
-            '"type":"statement","rank":"normal"}' % (prop, json.dumps(snak[1]))
+            '{"snaktype":"value","property":"%s","datavalue":'
+            '{"value":%s,"type":"string"},"datatype":"string"}'
+            % (prop, json.dumps(snak[1]))
         )
     if kind == "time":
         return (
-            '{"mainsnak":{"snaktype":"value","property":"%s","datavalue":'
+            '{"snaktype":"value","property":"%s","datavalue":'
             '{"value":{"time":"%s","precision":11},"type":"time"},'
-            '"datatype":"time"},"type":"statement","rank":"normal"}'
-            % (prop, snak[1])
+            '"datatype":"time"}' % (prop, snak[1])
         )
     if kind == "quantity":
         return (
-            '{"mainsnak":{"snaktype":"value","property":"%s","datavalue":'
+            '{"snaktype":"value","property":"%s","datavalue":'
             '{"value":{"amount":"%s","unit":"1"},"type":"quantity"},'
-            '"datatype":"quantity"},"type":"statement","rank":"normal"}'
-            % (prop, snak[1])
+            '"datatype":"quantity"}' % (prop, snak[1])
         )
     raise ValueError(f"unknown snak kind {kind}")
+
+
+def _render_snak(prop: str, snak: tuple, quals: list | None = None,
+                 stmt_id: str | None = None) -> str:
+    """One claim object. ``quals`` = [(qprop, snak), ...] renders a
+    qualifiers block; ``stmt_id`` renders the statement id (required for the
+    qualifier-import path, wikidata.cpp:1322)."""
+    parts = ['"mainsnak":' + _render_snak_body(prop, snak)]
+    if quals:
+        groups: dict[str, list] = {}
+        for qprop, qsnak in quals:
+            groups.setdefault(qprop, []).append(qsnak)
+        q = ",".join(
+            '"%s":[%s]' % (qp, ",".join(_render_snak_body(qp, s) for s in snaks))
+            for qp, snaks in groups.items()
+        )
+        parts.append('"qualifiers":{%s}' % q)
+    parts.append('"type":"statement"')
+    if stmt_id:
+        parts.append('"id":"%s"' % stmt_id)
+    parts.append('"rank":"normal"')
+    return "{%s}" % ",".join(parts)
 
 
 def render_line(ent: dict) -> str:
@@ -102,12 +123,27 @@ def render_line(ent: dict) -> str:
         for lang, vals in aliases.items()
     )
     parts.append('"aliases":{%s}' % a)
-    # claims: list of (prop, snak) pairs; group per property preserving order.
+    # claims: (prop, snak) or (prop, snak, qualifiers) tuples; grouped per
+    # property preserving order. Claims with qualifiers get statement ids.
     groups: dict[str, list] = {}
-    for prop, snak in ent.get("claims", []):
-        groups.setdefault(prop, []).append(snak)
+    for claim in ent.get("claims", []):
+        prop, snak = claim[0], claim[1]
+        quals = claim[2] if len(claim) > 2 else None
+        groups.setdefault(prop, []).append((snak, quals))
     c = ",".join(
-        '"%s":[%s]' % (prop, ",".join(_render_snak(prop, s) for s in snaks))
+        '"%s":[%s]'
+        % (
+            prop,
+            ",".join(
+                _render_snak(
+                    prop,
+                    s,
+                    quals=q,
+                    stmt_id=f"{ent['id']}${prop}-{i}" if q else None,
+                )
+                for i, (s, q) in enumerate(snaks)
+            ),
+        )
         for prop, snaks in groups.items()
     )
     parts.append('"claims":{%s}' % c)
@@ -123,8 +159,8 @@ def golden_extract(ent: dict) -> list[tuple[str, str, str]]:
     array-opener tag, ``wikidata.cpp:702-706,731-741``)."""
     out = []
     groups: dict[str, list] = {}
-    for prop, snak in ent.get("claims", []):
-        groups.setdefault(prop, []).append(snak)
+    for claim in ent.get("claims", []):
+        groups.setdefault(claim[0], []).append(claim[1])
     for prop, snaks in groups.items():
         if not snaks or snaks[0][0] not in ("item", "string", "time", "quantity"):
             continue  # first claim is somevalue/novalue -> property array tag absent
@@ -379,6 +415,53 @@ def fixture_entities() -> list[dict]:
             "labels": {},
             "descriptions": {"en": "described but unnamed"},
             "claims": [("P31", ("item", "Q35120"))],
+        },
+        # --- reified statements (qualifier import, S3) --------------------
+        # Q900 held a position (P39) with start/end time qualifiers; one
+        # unqualified claim that must NOT materialize a statement.
+        {
+            "id": "Q900",
+            "labels": {"en": "office holder"},
+            "claims": [
+                (
+                    "P39",
+                    ("item", "Q901"),
+                    [
+                        ("P580", ("time", "+2001-01-01T00:00:00Z")),
+                        ("P582", ("time", "+2005-01-01T00:00:00Z")),
+                    ],
+                ),
+                ("P39", ("item", "Q902")),  # no qualifiers -> no statement
+                ("P31", ("item", "Q5")),
+            ],
+        },
+        {"id": "Q901", "labels": {"en": "mayor"}, "claims": []},
+        # property with constraint statements (S5): P9000 conflicts with
+        # P31=Q5; P9001 forbids value Q902 (none-of)
+        {
+            "id": "P9000",
+            "labels": {"en": "fictional prop"},
+            "claims": [
+                (
+                    "P2302",
+                    ("item", "Q21502838"),
+                    [
+                        ("P2306", ("item", "P31")),
+                        ("P2305", ("item", "Q5")),
+                    ],
+                ),
+            ],
+        },
+        {
+            "id": "P9001",
+            "labels": {"en": "restricted prop"},
+            "claims": [
+                (
+                    "P2302",
+                    ("item", "Q52558054"),
+                    [("P2305", ("item", "Q902"))],
+                ),
+            ],
         },
         # --- canonicalization: same-as pairs (P2888 exact-match style) ----
         {

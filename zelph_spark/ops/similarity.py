@@ -1,0 +1,221 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query side,
+JVM-side dot products via zip_with/aggregate, one window for top-k.
+Scale path: random-hyperplane LSH bucketing (sign sketch) so candidate
+generation is an equi-join on bucket ids instead of a cross join, plus an
+IVF-style variant with deterministic centroids. Exact verify in both.
+
+All expressions are built-in columnar functions (whole-stage codegen),
+no Python UDFs — at 1e9 vectors the cross join is the enemy, not the
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) — top-k cosine neighbors per query.
+    ``queries`` is broadcast (the small side); self-matches excluded.
+    Deterministic: ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qvec", "nvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (no RNG state —
+    reproducible across engines and runs)."""
+    import math
+
+    return [
+        math.sin(0.7 * seed + 0.311 * j) + math.cos(1.3 * seed - 0.17 * j)
+        for j in range(dim)
+    ]
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    table: int = 0,
+) -> DataFrame:
+    """Random-hyperplane sign sketch -> integer bucket id per vector.
+    ``table`` seeds an independent plane set (multi-table LSH)."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, 1000 * table + i)])
+        bit = (dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return embeddings.withColumn("bucket", bucket)
+
+
+def lsh_buckets_multi(
+    embeddings: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One (table, bucket) row per vector per table. Candidate recall for a
+    per-plane agreement probability p is 1 - (1 - p^n_planes)^n_tables —
+    n_tables is the recall knob, n_planes the selectivity knob."""
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _bucket_expr(vec_col, n_planes, dim, t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    return embeddings.select("*", tb).select(
+        *embeddings.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def _bucket_expr(vec_col: str, n_planes: int, dim: int, table: int):
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, 1000 * table + i)])
+        bit = (dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via multi-table LSH: candidates share the query's bucket in
+    ANY of ``n_tables`` independent tables (equi-join on (table, bucket)),
+    exact cosine verify + window. Recall grows with n_tables; tests measure
+    it against brute force."""
+    eb = lsh_buckets_multi(embeddings, n_planes, n_tables, dim, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
+        "table", "bucket",
+    )
+    qb = lsh_buckets_multi(queries, n_planes, n_tables, dim, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        "table", "bucket",
+    )
+    scored = (
+        eb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", F.round(cosine("qvec", "nvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF bucketing with deterministic centroids (the ``n_centroids``
+    smallest ids — a seed-free stand-in for k-means; the *plumbing* is the
+    scale path: assignment is a broadcast join, search probes one cell).
+    Returns (assigned, centroids)."""
+    w = Window.orderBy(F.col(id_col).asc())
+    cents = (
+        embeddings.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_centroids)
+        .select(
+            F.col("rn").alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    scored = embeddings.join(F.broadcast(cents)).withColumn(
+        "sim", cosine(vec_col, "cvec")
+    )
+    ww = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(ww))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    return assigned, cents
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table LSH blocking +
+    exact verify: (a, b, cos >= threshold), a < b. At cos 0.95 the per-plane
+    agreement is ~0.9, so 8 planes x 4 tables gives ~0.9 candidate recall
+    while keeping the join selective."""
+    eb = lsh_buckets_multi(embeddings, n_planes, n_tables, dim, vec_col)
+    l = eb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "table", "bucket")
+    r = eb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "table", "bucket")
+    return (
+        l.join(r, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("cos", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

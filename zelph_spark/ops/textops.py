@@ -1,0 +1,86 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All JVM-side columnar expressions (no Python UDFs): tokenization, token
+counting, quality scoring, language identification, and document
+fingerprinting over the ``documents`` table. Every operator has an exact
+ANSI-SQL twin in ``__spark_entry__.oracle_sql`` — the formulas are chosen to
+be expressible identically in Spark and DuckDB so the driver's differential
+gate covers them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Stopword sets for the n-gram/stopword language-ID heuristic. Tiny by
+# design: the heuristic must be reproducible in pure SQL on both engines.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "men5", "zhe4"),
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization of lowercase text (split on runs of spaces)."""
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens(col)).cast("bigint"))
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Occurrence count (not distinct) of ``words`` among tokens."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]:
+    0.4·min(1, n_tokens/64) + 0.3·(distinct/total) + 0.3·stopword_ratio.
+
+    The length/uniqueness/stopword mix follows the standard quality-filter
+    recipes for web-corpus curation; exact weights are arbitrary but fixed
+    (and mirrored in the SQL oracle)."""
+    t = tokens(col)
+    n = F.size(t).cast("double")
+    distinct_ratio = F.size(F.array_distinct(t)) / n
+    stop_ratio = _hits(t, STOPWORDS["en"]).cast("double") / n
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(64.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * stop_ratio
+    )
+    return df.withColumn("quality", F.round(score, 6))
+
+
+def with_langid(df: DataFrame, col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: most hits wins; ties broken by language
+    code order; zero hits everywhere -> 'und'."""
+    t = tokens(col)
+    scored = F.array(
+        *[
+            F.struct(
+                _hits(t, STOPWORDS[lang]).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # ties: the filter below keeps array order, so the alphabetically-first
+    # language with the max hit count wins
+    max_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    winner = F.filter(scored, lambda s: s["hits"] == max_hits)[0]["lang"]
+    return df.withColumn(
+        "lang_pred", F.when(max_hits > 0, winner).otherwise(F.lit("und"))
+    )
+
+
+def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — the dedup-key analog of a rolling-hash sketch, exactly
+    reproducible in SQL."""
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+    return df.withColumn("fingerprint", fp)

@@ -1,0 +1,282 @@
+"""Semi-naive, stratified fixpoint driver (SURVEY.md §2.4 R1/R8/R9, §4 O5/O6).
+
+Catalyst has no fixpoint operator, so the loop lives in the Python driver —
+the distributed analog of ``Reasoning::run`` (``reasoning.cpp:57-211``) and
+``run_fixpoint_seminaive`` (``reasoning_seminaive.cpp:92-445``):
+
+- iteration 1 is a classic pass over all positive rules; afterwards only the
+  delta participates: for each rule and each positive condition position j,
+  evaluate with condition j bound to the delta and the rest to the full
+  extent — the relational form of the fact-creation-observer seeding
+  (``zelph.hpp:185-194``), union over j, minus known facts;
+- rules are indexed by condition predicate (``reasoning_seminaive.cpp:100-207``):
+  a (rule, position) pair is seeded only when its constant predicate occurs
+  in the delta (variable-predicate conditions always seed — they are
+  delta-safe here, unlike the reference's O7 fallback, because the
+  relational evaluation has no nested-conjunction special case);
+- NAF rules form stratum 2 (``reasoning.cpp:102-161``): they run only at
+  positive quiescence; anything they deduce re-opens the positive stratum,
+  and the alternation repeats until the NAF round is silent;
+- every round localCheckpoints the full and delta frames — fixpoint lineage
+  otherwise grows linearly and re-executes from scratch (§7 hard part 1);
+- contradiction rules (consequence ``!``) never feed the delta: they are
+  evaluated once at the end against the saturated graph and returned as a
+  (rule_id, bindings) DataFrame — the distributed form of zelph's counted
+  ``contradiction_error`` records (``reasoning_deduce.cpp:131-133``).
+
+:func:`verify_fixpoint` ports the reference's semi-naive safety net
+(``reasoning_seminaive.cpp:386-407``): one classic pass over the result must
+deduce nothing new.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..rules import Rule, is_var
+from .compiler import compile_rule_body, project_consequence
+
+EDGE_COLS = ["subj", "pred", "obj"]
+
+
+@dataclass
+class FixpointResult:
+    edges: DataFrame  # saturated distinct (subj, pred, obj)
+    deduced: DataFrame  # deduced facts only (edges - input)
+    contradictions: DataFrame  # (rule_id string, bindings map<string,string>)
+    iterations: int
+    n_deduced: int
+    log: list[dict] = field(default_factory=list)
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame | None:
+    dfs = [d for d in dfs if d is not None]
+    if not dfs:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def _rule_can_fire(rule, present_preds) -> bool:
+    """Relation-extent restriction (SURVEY.md §4 O2): a rule with a positive
+    condition on a constant predicate that has NO facts at all cannot fire —
+    skip its whole plan branch. ``present_preds=None`` disables the check."""
+    if present_preds is None:
+        return True
+    return all(
+        is_var(rule.conditions[i].pred)
+        or rule.conditions[i].pred in present_preds
+        for i in rule.positive
+    )
+
+
+def _fire_positive(rules, edges, delta=None, delta_preds=None, present_preds=None):
+    """Union of consequence projections for one round. ``delta=None`` =>
+    classic full-extent pass; else semi-naive per-position seeding with the
+    predicate index short-circuit."""
+    outs = []
+    for rule in rules:
+        if not _rule_can_fire(rule, present_preds):
+            continue
+        if delta is None:
+            outs.append(project_consequence(compile_rule_body(rule, edges), rule))
+            continue
+        for j in rule.positive:
+            pat = rule.conditions[j]
+            if (
+                delta_preds is not None
+                and not is_var(pat.pred)
+                and pat.pred not in delta_preds
+            ):
+                continue  # rule-predicate index: this position can't match delta
+            outs.append(
+                project_consequence(
+                    compile_rule_body(rule, edges, delta_at=j, delta=delta), rule
+                )
+            )
+    return _union_all(outs)
+
+
+def _distinct_preds(df: DataFrame) -> set:
+    return {r.pred for r in df.select("pred").distinct().collect()}
+
+
+def _pred_counts(df: DataFrame) -> dict:
+    """One action yielding both the round's fact count and the delta
+    predicate set (replaces separate count() + distinct() driver calls —
+    every fixpoint round has a serial driver floor, keep it at one job)."""
+    return {r.pred: r.n for r in df.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+
+
+def _materialize(df: DataFrame, scratch: str | None, name: str) -> DataFrame:
+    """Cut lineage AND reset Catalyst size statistics.
+
+    ``localCheckpoint`` alone carries the origin plan's estimated
+    sizeInBytes forward (verified on Spark 4.1: a checkpointed join's stats
+    are the PRODUCT of its inputs' carried stats). In an iterative fixpoint
+    the delta feeds back into the next round's joins, so the estimate
+    compounds exponentially and the driver ends up multiplying BigIntegers
+    with millions of digits inside SizeInBytesOnlyStatsPlanVisitor — a
+    single-threaded stall that dwarfs the actual cluster work. A parquet
+    round-trip gives the next round a scan with REAL file statistics.
+    """
+    if scratch is None:
+        return df.localCheckpoint()
+    path = f"{scratch}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _new_facts(
+    candidates: DataFrame | None,
+    known: DataFrame,
+    scratch: str | None = None,
+    name: str = "delta",
+) -> DataFrame | None:
+    if candidates is None:
+        return None
+    out = candidates.dropDuplicates(EDGE_COLS).join(
+        known, on=EDGE_COLS, how="left_anti"
+    )
+    return _materialize(out, scratch, name)
+
+
+def run_fixpoint(
+    edges: DataFrame,
+    rules: list[Rule],
+    contradiction_rules: list[Rule] | None = None,
+    semi_naive: bool = True,
+    max_iter: int = 100,
+) -> FixpointResult:
+    """Saturate ``edges`` (string or long ids — any equality-joinable type)
+    under ``rules``; then evaluate ``contradiction_rules`` once."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="zelph_fixpoint_")
+    try:
+        return _run_fixpoint_inner(
+            edges, rules, contradiction_rules, semi_naive, max_iter, scratch
+        )
+    finally:
+        # every returned DataFrame is rooted at localCheckpointed RDDs
+        # (full/base), never at the scratch parquet files
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _run_fixpoint_inner(
+    edges, rules, contradiction_rules, semi_naive, max_iter, scratch
+) -> FixpointResult:
+    base = edges.select(*EDGE_COLS).dropDuplicates(EDGE_COLS).localCheckpoint()
+    positive = [r for r in rules if not r.negated]
+    naf_rules = [r for r in rules if r.negated]
+
+    full = base
+    log: list[dict] = []
+    iterations = 0
+    total_new = 0
+    present = _distinct_preds(base)  # O2 extent restriction, kept current
+
+    # classic first pass (reasoning_seminaive.cpp:236-242)
+    delta = _new_facts(
+        _fire_positive(positive, full, present_preds=present),
+        full, scratch, "delta_0",
+    )
+    while iterations < max_iter:
+        iterations += 1
+        dcounts = _pred_counts(delta) if delta is not None else {}
+        n_delta = sum(dcounts.values())
+        log.append({"iter": iterations, "stratum": "positive", "new": n_delta})
+        if n_delta == 0:
+            # positive quiescence -> deferred NAF stratum (R9)
+            if not naf_rules:
+                break
+            naf_new = _new_facts(
+                _fire_positive(naf_rules, full, present_preds=present),
+                full, scratch, f"naf_{iterations}",
+            )
+            n_naf = naf_new.count() if naf_new is not None else 0
+            log.append({"iter": iterations, "stratum": "naf", "new": n_naf})
+            if n_naf == 0:
+                break
+            full = full.unionByName(naf_new).localCheckpoint()
+            total_new += n_naf
+            present |= _distinct_preds(naf_new)
+            delta = naf_new  # deduced facts re-open the positive stratum
+            continue
+        total_new += n_delta
+        full = full.unionByName(delta).localCheckpoint()
+        delta_preds = set(dcounts)
+        present |= delta_preds
+        if semi_naive:
+            # broadcast the delta side when it is small: every rule-position
+            # branch then becomes a broadcast hash join and the full extent
+            # is never shuffled — the dominant cost of a semi-naive round is
+            # otherwise ~(rules x positions) shuffles of `full` per round.
+            # (The hint survives bind_condition's filters/projections.)
+            seed = F.broadcast(delta) if n_delta <= 2_000_000 else delta
+            delta = _new_facts(
+                _fire_positive(
+                    positive, full, seed, delta_preds, present_preds=present
+                ),
+                full, scratch, f"delta_{iterations}",
+            )
+        else:
+            delta = _new_facts(
+                _fire_positive(positive, full, present_preds=present),
+                full, scratch, f"delta_{iterations}",
+            )
+
+    contradictions = evaluate_contradictions(
+        full, contradiction_rules or [], present_preds=present
+    )
+    deduced = full.join(base, on=EDGE_COLS, how="left_anti")
+    return FixpointResult(
+        edges=full,
+        deduced=deduced,
+        contradictions=contradictions,
+        iterations=iterations,
+        n_deduced=total_new,
+        log=log,
+    )
+
+
+def evaluate_contradictions(
+    edges: DataFrame, rules: list[Rule], present_preds: set | None = None
+) -> DataFrame:
+    """Contradiction rules -> (rule_id, bindings map) rows
+    (``reasoning.cpp:249-272`` reporting; rows instead of counters)."""
+    spark = edges.sparkSession
+    outs = []
+    for rule in rules:
+        if not _rule_can_fire(rule, present_preds):
+            continue
+        b = compile_rule_body(rule, edges)
+        kvs = []
+        for c in sorted(b.columns):
+            kvs += [F.lit(c), F.col(c).cast("string")]
+        outs.append(
+            b.select(
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.create_map(*kvs).alias("bindings") if kvs else F.create_map().alias("bindings"),
+            )
+        )
+    out = _union_all(outs)
+    if out is None:
+        return spark.createDataFrame([], "rule_id string, bindings map<string,string>")
+    return out
+
+
+def verify_fixpoint(result: FixpointResult, rules: list[Rule]) -> bool:
+    """Differential safety net (reasoning_seminaive.cpp:386-407): a classic
+    full pass over the saturated graph must produce zero new facts."""
+    positive = [r for r in rules if not r.negated]
+    naf_rules = [r for r in rules if r.negated]
+    cand = _fire_positive(positive + naf_rules, result.edges)
+    if cand is None:
+        return True
+    leftover = _new_facts(cand, result.edges)
+    return leftover.count() == 0
