@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..rules import Rule, is_var
 from .compiler import compile_rule_body, project_consequence
+from .fused import fire_fused, fuse_rules
 
 EDGE_COLS = ["subj", "pred", "obj"]
 
@@ -150,6 +151,7 @@ def run_fixpoint(
     contradiction_rules: list[Rule] | None = None,
     semi_naive: bool = True,
     max_iter: int = 100,
+    fuse: bool = True,
 ) -> FixpointResult:
     """Saturate ``edges`` (string or long ids — any equality-joinable type)
     under ``rules``; then evaluate ``contradiction_rules`` once."""
@@ -159,7 +161,8 @@ def run_fixpoint(
     scratch = tempfile.mkdtemp(prefix="zelph_fixpoint_")
     try:
         return _run_fixpoint_inner(
-            edges, rules, contradiction_rules, semi_naive, max_iter, scratch
+            edges, rules, contradiction_rules, semi_naive, max_iter, scratch,
+            fuse,
         )
     finally:
         # every returned DataFrame is rooted at localCheckpointed RDDs
@@ -168,11 +171,23 @@ def run_fixpoint(
 
 
 def _run_fixpoint_inner(
-    edges, rules, contradiction_rules, semi_naive, max_iter, scratch
+    edges, rules, contradiction_rules, semi_naive, max_iter, scratch, fuse
 ) -> FixpointResult:
     base = edges.select(*EDGE_COLS).dropDuplicates(EDGE_COLS).localCheckpoint()
     positive = [r for r in rules if not r.negated]
     naf_rules = [r for r in rules if r.negated]
+    groups = fuse_rules(positive) if fuse else None
+    per_rule = groups.leftover if groups is not None else positive
+
+    def fire_all(delta=None, delta_preds=None, present=None):
+        outs = []
+        pr = _fire_positive(per_rule, full, delta, delta_preds,
+                            present_preds=present)
+        if pr is not None:
+            outs.append(pr)
+        if groups is not None:
+            outs.extend(fire_fused(groups, full, delta, delta_preds, present))
+        return _union_all(outs)
 
     full = base
     log: list[dict] = []
@@ -181,10 +196,7 @@ def _run_fixpoint_inner(
     present = _distinct_preds(base)  # O2 extent restriction, kept current
 
     # classic first pass (reasoning_seminaive.cpp:236-242)
-    delta = _new_facts(
-        _fire_positive(positive, full, present_preds=present),
-        full, scratch, "delta_0",
-    )
+    delta = _new_facts(fire_all(present=present), full, scratch, "delta_0")
     while iterations < max_iter:
         iterations += 1
         dcounts = _pred_counts(delta) if delta is not None else {}
@@ -219,14 +231,12 @@ def _run_fixpoint_inner(
             # (The hint survives bind_condition's filters/projections.)
             seed = F.broadcast(delta) if n_delta <= 2_000_000 else delta
             delta = _new_facts(
-                _fire_positive(
-                    positive, full, seed, delta_preds, present_preds=present
-                ),
+                fire_all(seed, delta_preds, present),
                 full, scratch, f"delta_{iterations}",
             )
         else:
             delta = _new_facts(
-                _fire_positive(positive, full, present_preds=present),
+                fire_all(present=present),
                 full, scratch, f"delta_{iterations}",
             )
 
