@@ -305,6 +305,81 @@ SELECT 'Q' || doc_id AS subj, 'P123' AS pred, 'S' || source AS obj FROM document
 """
 
 
+def q_kg_statements(spark, sf_dir):
+    """Reified statement extraction (S3/S4) through the REAL render->parse
+    path: qualified claims derived from the documents table, parsed by the
+    statements scanner; the oracle computes the same reified triples
+    structurally."""
+    import pandas as pd
+
+    from zelph_spark import datagen, statements
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def to_lines(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                ent = {
+                    "id": f"Q{r.doc_id}",
+                    "labels": {"en": f"doc {r.doc_id}"},
+                    "claims": [
+                        (
+                            "P39",
+                            ("item", f"L{r.lang}"),
+                            [("P1545", ("quantity", f"+{r.n_chars}"))],
+                        ),
+                        ("P31", ("item", "Q5")),  # unqualified -> no statement
+                    ],
+                }
+                rows.append((datagen.render_line(ent),))
+            yield pd.DataFrame(rows, columns=["line"])
+
+    lines = docs.mapInPandas(to_lines, schema="line string")
+    return statements.extract_statements(lines).orderBy("subj", "pred", "obj")
+
+
+ORACLE_KG_STATEMENTS = """
+WITH sid AS (
+  SELECT doc_id, lang, n_chars,
+         'Q' || doc_id || '$P39-0' AS stmt, 'Q' || doc_id AS eid
+  FROM documents
+)
+SELECT eid AS subj, 'p:P39' AS pred, stmt AS obj FROM sid
+UNION ALL
+SELECT stmt, 'ps:P39', 'L' || lang FROM sid
+UNION ALL
+SELECT stmt, 'pq:P1545', '+' || n_chars FROM sid
+UNION ALL
+SELECT stmt, 'wikibase:rank', 'wikibase:NormalRank' FROM sid
+ORDER BY subj, pred, obj
+"""
+
+
+def q_kg_sparql(spark, sf_dir):
+    """SPARQL text layer (Q1-Q11) over the derived taxonomy: grouped count
+    of instances per class with transitive subclass lift via p+ paths."""
+    from zelph_spark.sparql import sparql
+
+    base = _taxonomy_triples(spark, sf_dir)
+    out = sparql(
+        base,
+        "SELECT ?k (COUNT(?x) AS ?n) WHERE { ?x P31 ?c . ?c P279+ ?k } "
+        "GROUP BY ?k",
+    )
+    return out.select("k", F.col("n").cast("bigint").alias("n")).orderBy("k")
+
+
+ORACLE_KG_SPARQL = (
+    _TAXONOMY_ORACLE
+    + """
+SELECT sp.obj AS k, COUNT(*) AS n
+FROM isa i JOIN subplus sp ON i.obj = sp.subj
+GROUP BY sp.obj ORDER BY k
+"""
+)
+
+
 def q_kg_degrees(spark, sf_dir):
     """Degree/cardinality stats (F8): facts per predicate of the derived
     taxonomy graph."""
@@ -674,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_contradictions": q_kg_contradictions,
         "kg_entity_link": q_kg_entity_link,
         "kg_extract_roundtrip": q_kg_extract_roundtrip,
+        "kg_statements": q_kg_statements,
+        "kg_sparql": q_kg_sparql,
         "kg_degrees": q_kg_degrees,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -700,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_contradictions": ORACLE_KG_CONTRADICTIONS,
         "kg_entity_link": ORACLE_KG_ENTITY_LINK,
         "kg_extract_roundtrip": ORACLE_KG_EXTRACT,
+        "kg_statements": ORACLE_KG_STATEMENTS,
+        "kg_sparql": ORACLE_KG_SPARQL,
         "kg_degrees": ORACLE_KG_DEGREES,
         "q1_pricing_summary": ORACLE_Q1,
         "q3_shipping_priority": ORACLE_Q3,
