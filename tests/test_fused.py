@@ -73,3 +73,29 @@ def test_fused_with_constant_consequence_and_filters(spark):
     # only X=a satisfies both conditions ((b q c) does not exist)
     assert ("marker", "seen", "a") in got
     assert ("other", "seen", "a") not in got
+
+
+def test_fused_contradictions_equal_per_rule(spark, fixture_docs_df):
+    """Fused contradiction sweep == per-rule sweep == oracle on the
+    saturated fixture graph (rule_id + bindings)."""
+    from zelph_spark.reasoning import evaluate_contradictions
+
+    t = extract.triples(extract.extract_all(fixture_docs_df))
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            sorted({(r.subj, r.pred, r.obj) for r in t.collect()}
+                   | set(Rz.BASE_FACTS)),
+            columns=["subj", "pred", "obj"],
+        )
+    )
+    sat = run_fixpoint(base, Rz.wikidata_rules()).edges
+    crules = Rz.wikidata_contradiction_rules()
+    fused = evaluate_contradictions(sat, crules, fuse=True)
+    plain = evaluate_contradictions(sat, crules, fuse=False)
+    fs = {(r.rule_id, frozenset(r.bindings.items())) for r in fused.collect()}
+    ps = {(r.rule_id, frozenset(r.bindings.items())) for r in plain.collect()}
+    assert fs == ps
+    sat_set = {(r.subj, r.pred, r.obj) for r in sat.collect()}
+    want = oracle.contradiction_bindings(sat_set, crules)
+    assert fs == want
+    assert len(fs) > 0

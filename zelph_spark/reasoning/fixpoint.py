@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..rules import Rule, is_var
 from .compiler import compile_rule_body, project_consequence
-from .fused import fire_fused, fuse_rules
+from .fused import fire_contradictions_fused, fire_fused, fuse_contradiction_rules, fuse_rules
 
 EDGE_COLS = ["subj", "pred", "obj"]
 
@@ -255,13 +255,24 @@ def _run_fixpoint_inner(
 
 
 def evaluate_contradictions(
-    edges: DataFrame, rules: list[Rule], present_preds: set | None = None
+    edges: DataFrame,
+    rules: list[Rule],
+    present_preds: set | None = None,
+    fuse: bool = True,
 ) -> DataFrame:
     """Contradiction rules -> (rule_id, bindings map) rows
-    (``reasoning.cpp:249-272`` reporting; rows instead of counters)."""
+    (``reasoning.cpp:249-272`` reporting; rows instead of counters).
+    1-/2-condition constant-predicate rules evaluate fused (one plan pair
+    per shape regardless of rule count — required for S5 constraint-
+    generated rulesets); the rest go per-rule."""
     spark = edges.sparkSession
     outs = []
-    for rule in rules:
+    per_rule = rules
+    if fuse:
+        groups = fuse_contradiction_rules(rules)
+        per_rule = groups.leftover
+        outs.extend(fire_contradictions_fused(edges, groups, present_preds))
+    for rule in per_rule:
         if not _rule_can_fire(rule, present_preds):
             continue
         b = compile_rule_body(rule, edges)

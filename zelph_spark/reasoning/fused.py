@@ -275,3 +275,160 @@ def fire_fused(
                 fire_pairs(full, delta, shape, keep(specs, ["pa", "pb"], "pb"))
             )
     return [o for o in outs if o is not None]
+
+
+# ---------------------------------------------------------------------------
+# Fused contradiction sweep: rule_id + bindings instead of deduced triples.
+# Same shapes, but the projection rebuilds each rule's variable-name ->
+# value map (names ride in the rules table; constants and the duplicate
+# occurrence of the shared variable carry NULL names so map keys stay
+# unique).
+# ---------------------------------------------------------------------------
+
+_CON_SINGLE_SCHEMA = (
+    "rule_id string, pa string, c1s string, c1o string, "
+    "n1s string, n1o string"
+)
+_CON_PAIR_SCHEMA = (
+    "rule_id string, pa string, pb string, c1s string, c1o string, "
+    "c2s string, c2o string, n1s string, n1o string, n2s string, n2o string"
+)
+
+
+def fuse_contradiction_rules(rules: list[Rule]) -> FusedGroups:
+    """1- and 2-condition constant-predicate contradiction rules fuse;
+    everything else (3-condition patterns, guards, NAF) keeps the per-rule
+    path."""
+    single: list[dict] = []
+    pairs: dict[tuple[str, str], list[dict]] = {}
+    leftover: list[Rule] = []
+    for r in rules:
+        if not r.is_contradiction or r.negated or r.unequals:
+            leftover.append(r)
+            continue
+        conds = r.conditions
+        if any(is_var(c.pred) for c in conds) or any(
+            is_var(c.subj) and c.subj == c.obj for c in conds
+        ):
+            leftover.append(r)
+            continue
+        if len(conds) == 1:
+            c1 = conds[0]
+            single.append({
+                "rule_id": r.rule_id, "pa": c1.pred,
+                "c1s": None if is_var(c1.subj) else c1.subj,
+                "c1o": None if is_var(c1.obj) else c1.obj,
+                "n1s": c1.subj[1:] if is_var(c1.subj) else None,
+                "n1o": c1.obj[1:] if is_var(c1.obj) else None,
+            })
+        elif len(conds) == 2:
+            c1, c2 = conds
+            v1 = {t for t in (c1.subj, c1.obj) if is_var(t)}
+            v2 = {t for t in (c2.subj, c2.obj) if is_var(t)}
+            shared = v1 & v2
+            if len(shared) != 1:
+                leftover.append(r)
+                continue
+            sv = next(iter(shared))
+            j1 = "subj" if c1.subj == sv else "obj"
+            j2 = "subj" if c2.subj == sv else "obj"
+            # NULL out c2's copy of the shared variable name (dup map key)
+            n2s = c2.subj[1:] if is_var(c2.subj) and c2.subj != sv else None
+            n2o = c2.obj[1:] if is_var(c2.obj) and c2.obj != sv else None
+            pairs.setdefault((j1, j2), []).append({
+                "rule_id": r.rule_id, "pa": c1.pred, "pb": c2.pred,
+                "c1s": None if is_var(c1.subj) else c1.subj,
+                "c1o": None if is_var(c1.obj) else c1.obj,
+                "c2s": None if is_var(c2.subj) else c2.subj,
+                "c2o": None if is_var(c2.obj) else c2.obj,
+                "n1s": c1.subj[1:] if is_var(c1.subj) else None,
+                "n1o": c1.obj[1:] if is_var(c1.obj) else None,
+                "n2s": n2s, "n2o": n2o,
+            })
+        else:
+            leftover.append(r)
+    return FusedGroups(single=single, pairs=pairs, leftover=leftover)
+
+
+def _bindings_map(entries):
+    """[(name_col, value_col), ...] -> map<string,string> skipping NULL
+    names (constants / duplicate shared-var occurrence)."""
+    arr = F.array(*[
+        F.struct(n.alias("key"), v.cast("string").alias("value"))
+        for n, v in entries
+    ])
+    return F.map_from_entries(F.filter(arr, lambda s: s["key"].isNotNull()))
+
+
+def fire_contradictions_fused(
+    edges: DataFrame, groups: FusedGroups, present_preds: set | None = None
+) -> list[DataFrame]:
+    """Fused contradiction sweep -> [(rule_id, bindings)] frames."""
+    spark = edges.sparkSession
+
+    def keep(specs, keys):
+        if present_preds is None:
+            return specs
+        return [s for s in specs if all(s[k] in present_preds for k in keys)]
+
+    outs = []
+    sing = keep(groups.single, ["pa"])
+    if sing:
+        rt = _rules_table(
+            edges,
+            [(s["rule_id"], _v(s["pa"]), _v(s["c1s"]), _v(s["c1o"]),
+              s["n1s"], s["n1o"]) for s in sing],
+            _CON_SINGLE_SCHEMA,
+        )
+        e = edges.select(
+            F.col("subj").alias("_s1"), F.col("pred").alias("_p1"),
+            F.col("obj").alias("_o1"),
+        )
+        j = e.join(rt, e["_p1"] == rt["pa"]).filter(
+            (F.col("c1s").isNull() | (F.col("_s1") == F.col("c1s")))
+            & (F.col("c1o").isNull() | (F.col("_o1") == F.col("c1o")))
+        )
+        outs.append(j.select(
+            "rule_id",
+            _bindings_map([(F.col("n1s"), F.col("_s1")),
+                           (F.col("n1o"), F.col("_o1"))]).alias("bindings"),
+        ))
+    for (j1, j2), specs in groups.pairs.items():
+        sp = keep(specs, ["pa", "pb"])
+        if not sp:
+            continue
+        rt = _rules_table(
+            edges,
+            [(s["rule_id"], _v(s["pa"]), _v(s["pb"]), _v(s["c1s"]),
+              _v(s["c1o"]), _v(s["c2s"]), _v(s["c2o"]), s["n1s"], s["n1o"],
+              s["n2s"], s["n2o"]) for s in sp],
+            _CON_PAIR_SCHEMA,
+        )
+        e1 = edges.select(
+            F.col("subj").alias("_s1"), F.col("pred").alias("_p1"),
+            F.col("obj").alias("_o1"),
+        )
+        e2 = edges.select(
+            F.col("subj").alias("_s2"), F.col("pred").alias("_p2"),
+            F.col("obj").alias("_o2"),
+        )
+        left = e1.join(rt, e1["_p1"] == rt["pa"]).filter(
+            (F.col("c1s").isNull() | (F.col("_s1") == F.col("c1s")))
+            & (F.col("c1o").isNull() | (F.col("_o1") == F.col("c1o")))
+        )
+        key1 = F.col("_s1") if j1 == "subj" else F.col("_o1")
+        key2 = F.col("_s2") if j2 == "subj" else F.col("_o2")
+        out = left.join(
+            e2, (F.col("pb") == F.col("_p2")) & (key1 == key2)
+        ).filter(
+            (F.col("c2s").isNull() | (F.col("_s2") == F.col("c2s")))
+            & (F.col("c2o").isNull() | (F.col("_o2") == F.col("c2o")))
+        )
+        outs.append(out.select(
+            "rule_id",
+            _bindings_map([
+                (F.col("n1s"), F.col("_s1")), (F.col("n1o"), F.col("_o1")),
+                (F.col("n2s"), F.col("_s2")), (F.col("n2o"), F.col("_o2")),
+            ]).alias("bindings"),
+        ))
+    return outs
