@@ -95,6 +95,8 @@ def test_probability_reconciliation_matches_reference(spark):
             {"subj": "d", "pred": "p", "obj": "x", "prob": 0.3},
             {"subj": "e", "pred": "p", "obj": "x", "prob": 0.2},
             {"subj": "f", "pred": "p", "obj": "x", "prob": 0.8},
+            {"subj": "g", "pred": "p", "obj": "x", "prob": 0.4},
+            {"subj": "h", "pred": "p", "obj": "x", "prob": 0.5},
         ])
     )
     mm = spark.createDataFrame(
@@ -102,6 +104,7 @@ def test_probability_reconciliation_matches_reference(spark):
             {"node": "b", "canon": "a"},
             {"node": "d", "canon": "c"},
             {"node": "f", "canon": "e"},
+            {"node": "h", "canon": "g"},
         ])
     )
     resolved, conflicts = canon.relabel_edges(edges, mm)
@@ -109,5 +112,8 @@ def test_probability_reconciliation_matches_reference(spark):
     assert probs["a"] == 0.9  # max of .7/.9
     assert probs["c"] == 0.2  # min of .2/.3
     assert "e" not in probs  # mixed .2/.8 -> conflict row
+    # 0.5 boundary: {0.4, 0.5} is NOT mixed (conflict needs pmax > 0.5) and
+    # the reference's both<=0.5 branch resolves it to min (network.hpp:241-254)
+    assert probs["g"] == 0.4
     c = conflicts.collect()
     assert len(c) == 1 and c[0].subj == "e"

@@ -19,17 +19,23 @@ def result(spark, fixture_docs_df, tmp_path_factory):
 
 def test_pipeline_saturation_matches_oracle(spark, result):
     """The pipeline fixpoint over canonicalized triples equals the oracle
-    fixpoint over the same base — the P/R gate at P=R=1.0."""
+    fixpoint over the same base — the P/R gate at P=R=1.0. Reasoning runs in
+    long-id space and includes the import-time auto-type facts
+    (wikidata.cpp:808-814), so the oracle base does too."""
     base = {
         (r.subj, r.pred, r.obj)
         for r in result.triples.select("subj", "pred", "obj").collect()
     }
-    want = oracle.stratified_fixpoint(base, Rz.wikidata_rules())
+    autotype = {(p, "P31", "Q130901") for _, p, _ in base}
+    want = oracle.stratified_fixpoint(base | autotype, Rz.wikidata_rules())
     got = {
         (r.subj, r.pred, r.obj)
         for r in result.saturated.collect()
     }
     assert got == want
+    # the long-id and string surfaces agree in cardinality (names join is
+    # total: every id resolves to exactly one wikidata-lang name)
+    assert result.saturated_ids.count() == len(got)
 
 
 def test_pipeline_canonicalization_applied(result):
@@ -50,6 +56,61 @@ def test_pipeline_links_present(result):
     }
     assert ("Q100", "Q402") in got  # 'beta' -> city (prior beats distractor)
     assert ("Q100", "Q100") in got  # self-mention 'alpha'
+
+
+def test_pipeline_prob_carried_e2e(result):
+    """Linked facts carry their ranking score as prob all the way into the
+    canonical triples AND the materialized edge table
+    (reasoning_deduce.cpp:256-261 confidence -> fact probability)."""
+    from zelph_spark.link import MENTION_PRED
+
+    mention_probs = [
+        r.prob for r in result.triples.filter(
+            F.col("pred") == MENTION_PRED).collect()
+    ]
+    assert mention_probs and all(p is not None for p in mention_probs)
+    assert set(mention_probs) <= {0.9, 0.6, 0.2, 0.1}
+    # trusted (extracted/base) facts stay certain: prob null
+    assert result.triples.filter(
+        (F.col("pred") != MENTION_PRED) & F.col("prob").isNotNull()
+    ).count() == 0
+    # and the long-id edge table preserves them
+    assert result.edges.filter(F.col("prob").isNotNull()).count() == len(
+        mention_probs
+    )
+
+
+def test_pipeline_prob_conflict_detected(spark):
+    """A same-as merge that collapses a low-prob and a high-prob assertion of
+    the same fact produces a prob_conflicts row and drops the fact from the
+    canonical set (network.hpp:241-254 mixed branch, e2e)."""
+    import random
+
+    from zelph_spark import datagen
+    from zelph_spark.link import MENTION_PRED
+    from zelph_spark.pipeline import run_pipeline
+
+    rng = random.Random(7)
+    ents = [
+        {"id": "Q900", "labels": {"en": "ninehundred"},
+         "claims": [("P2888", ("item", "Q901"))], "body": "foo"},
+        {"id": "Q901", "labels": {"en": "ninehundredone"},
+         "claims": [("P31", ("item", "Q35120"))], "body": "bar"},
+    ]
+    docs = spark.createDataFrame(
+        [datagen.entity_to_doc(e, rng) for e in ents],
+        schema=datagen.SPANS_SCHEMA,
+    )
+    dic = spark.createDataFrame(
+        [("foo", "QX", "en", 0.8), ("bar", "QX", "en", 0.2)],
+        "surface string, qid string, lang string, prior double",
+    )
+    res = run_pipeline(spark, docs, dictionary=dic, reason=False)
+    conf = {(r.subj, r.pred, r.obj) for r in res.prob_conflicts.collect()}
+    assert conf == {("Q900", MENTION_PRED, "QX")}
+    assert res.triples.filter(
+        (F.col("subj") == "Q900") & (F.col("pred") == MENTION_PRED)
+    ).count() == 0
 
 
 def test_pipeline_resume_skips_completed_stages(spark, fixture_docs_df, tmp_path):

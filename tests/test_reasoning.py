@@ -176,6 +176,12 @@ def test_naf_deduction_reopens_positive_stratum(spark):
     assert ("a", "s", "b") in got and ("a", "done", "b") in got
     want = oracle.stratified_fixpoint(set(facts), [naf, pos])
     assert got == want
+    # the re-opened stratum must not duplicate rows or double-count: edges
+    # stays a set and n_deduced is exact (regression: NAF delta was unioned
+    # into full twice)
+    assert res.edges.count() == len(got)
+    assert res.deduced.count() == len(got) - len(facts)
+    assert res.n_deduced == len(got) - len(facts)
 
 
 def test_unequal_guard(spark):

@@ -106,13 +106,15 @@ def merge_map_from_pairs(pairs: DataFrame) -> DataFrame:
 def name_conflict_pairs(names: DataFrame) -> DataFrame:
     """Same (lang, name) on two nodes -> same-as pair, zelph's
     merge_on_conflict trigger (``zelph_names.cpp:87-179``)."""
-    grouped = names.groupBy("lang", "name").agg(
-        F.min("node").alias("a"), F.collect_set("node").alias("nodes")
-    )
+    # groupBy-min + join back rather than collect_set: a pathological shared
+    # label (one name on millions of nodes) must not build a giant array in
+    # one aggregation buffer — the join shape stays flat at any group size.
+    mins = names.groupBy("lang", "name").agg(F.min("node").alias("a"))
     return (
-        grouped.select("a", F.explode("nodes").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select("a", "b")
+        names.join(mins, on=["lang", "name"])
+        .filter(F.col("node") != F.col("a"))
+        .select("a", F.col("node").alias("b"))
+        .distinct()
     )
 
 
@@ -157,9 +159,16 @@ def relabel_edges(
         "subj",
         "pred",
         "obj",
-        F.when(F.col("pmax") >= 0.5, F.col("pmax"))
-        .otherwise(F.col("pmin"))
-        .alias("prob"),
+        # reference branch order (network.hpp:241-254): both >= 0.5 -> max;
+        # otherwise (both <= 0.5, incl. the pmin<0.5 & pmax==0.5 boundary,
+        # which the <=0.5 branch owns) -> min. A reconciled 1.0 is certainty
+        # and is stored as null (the trusted-fact convention).
+        F.when(
+            F.when(F.col("pmin") >= 0.5, F.col("pmax"))
+            .otherwise(F.col("pmin")) < 1.0,
+            F.when(F.col("pmin") >= 0.5, F.col("pmax"))
+            .otherwise(F.col("pmin")),
+        ).alias("prob"),
     )
     return resolved, conflicts
 

@@ -36,12 +36,20 @@ def build_edges(triples: DataFrame) -> DataFrame:
     table with fact ids and bucket column. Idempotent by construction
     (dropDuplicates on the triple = hash-consing, zelph.cpp:650-660)."""
     prob = F.col("prob") if "prob" in triples.columns else F.lit(None).cast("double")
-    e = triples.select(
-        nid(F.col("subj")).alias("subj"),
-        nid(F.col("pred")).alias("pred"),
-        nid(F.col("obj")).alias("obj"),
-        prob.alias("prob"),
-    ).dropDuplicates(["subj", "pred", "obj"])
+    # prob-aware dedup: a triple asserted both trusted (prob null = certain)
+    # and scored keeps the highest effective probability, with null restored
+    # for certainty — deterministic, unlike an arbitrary dropDuplicates pick
+    pmax = F.max(F.coalesce("prob", F.lit(1.0)))
+    e = (
+        triples.select(
+            nid(F.col("subj")).alias("subj"),
+            nid(F.col("pred")).alias("pred"),
+            nid(F.col("obj")).alias("obj"),
+            prob.alias("prob"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.when(pmax < 1.0, pmax).alias("prob"))
+    )
     return e.select(
         config.fact_id(F.col("subj"), F.col("pred"), F.col("obj")).alias("fact_id"),
         "subj",
@@ -96,6 +104,28 @@ def build_nodes(edges: DataFrame) -> DataFrame:
         "kind", F.lit("entity")
     )
     return preds.withColumn("kind", F.lit("predicate")).unionByName(entities)
+
+
+def ids_to_qids(triples: DataFrame, names: DataFrame) -> DataFrame:
+    """Long-id (subj, pred, obj) -> wikidata-name string triples: three
+    dimension joins against the names table (lang='wikidata'). The inverse of
+    the nid() hashing — used to surface reasoning results computed in 8-byte
+    id space back as QID strings. Extra columns pass through."""
+    idname = names.filter(F.col("lang") == WIKIDATA_LANG).select(
+        "node", "name"
+    ).dropDuplicates(["node"])
+    out = triples
+    for role in ("subj", "pred", "obj"):
+        m = idname.select(
+            F.col("node").alias(f"_{role}_id"),
+            F.col("name").alias(f"_{role}_name"),
+        )
+        out = (
+            out.join(m, out[role] == m[f"_{role}_id"], "left")
+            .withColumn(role, F.col(f"_{role}_name"))
+            .drop(f"_{role}_id", f"_{role}_name")
+        )
+    return out
 
 
 def edges_for_pred(edges: DataFrame, pred_name: str) -> DataFrame:

@@ -6,6 +6,20 @@ Each stage commits to the StageStore before the next starts, so a killed run
 resumes mid-pipeline (resume test: tests/test_pipeline.py). The reference
 analog is the whole ``.load`` + ``.run`` lifecycle (SURVEY.md §3.2/§3.4) —
 one Spark job chain instead of a 4-thread importer + shared-memory fixpoint.
+
+Probability flow (``reasoning_deduce.cpp:256-261`` confidence -> fact
+probability; ``network.hpp:241-254`` reconciliation on merge): linked facts
+carry their ranking score as ``prob``; extracted/base facts are trusted
+(prob null = certain). Canonicalization reconciles collapsed duplicates —
+both >= 0.5 keeps max, both <= 0.5 keeps min, strictly mixed rows become
+``prob_conflicts`` (the distributed form of the reference's merge exception)
+and are excluded from the canonical edge set.
+
+Reasoning runs in **long-id space** over the materialized edge table
+(8-byte join keys instead of variable-length strings at every fixpoint
+shuffle — the scale path): rule constants are resolved to node ids with the
+same deterministic hash as the edge builder, and the saturated result is
+surfaced back as QID strings through the names table.
 """
 
 from __future__ import annotations
@@ -16,22 +30,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import canon, extract, graph, link, rules as Rz
 from .checkpoint import StageStore, run_stage
-from .reasoning import run_fixpoint
+from .reasoning import evaluate_contradictions, run_fixpoint
 
 
 @dataclass
 class PipelineResult:
     extracted: DataFrame
-    triples: DataFrame  # canonical string triples incl. links + base facts
+    triples: DataFrame  # canonical string triples (subj, pred, obj, prob)
     links: DataFrame
     merge_map: DataFrame
-    prob_conflicts: DataFrame
-    edges: DataFrame  # long-id materialized edge table
+    prob_conflicts: DataFrame  # strictly-mixed probability collapses
+    edges: DataFrame  # long-id materialized edge table (prob carried)
     names: DataFrame
     nodes: DataFrame
-    saturated: DataFrame  # string triples at fixpoint
-    deduced: DataFrame
-    contradictions: DataFrame
+    saturated_ids: DataFrame  # long-id (subj, pred, obj) at fixpoint
+    saturated: DataFrame  # the same facts as QID strings (names join)
+    deduced: DataFrame  # long-id deduced facts (saturated - edges)
+    contradictions: DataFrame  # (rule_id, bindings) — binding values are ids
     counters: dict
 
 
@@ -72,14 +87,17 @@ def run_pipeline(
     )
     link_triples = link.links_to_triples(links)
 
-    # 3. canonicalization: explicit same-as claims + name-collision merges
+    # 3. canonicalization: explicit same-as claims + name-collision merges.
+    #    Trusted facts carry prob null (= certain); linked facts keep their
+    #    ranking score so reconciliation runs on real probabilities.
+    no_prob = F.lit(None).cast("double").alias("prob")
     base_facts = spark.createDataFrame(
         Rz.BASE_FACTS, "subj string, pred string, obj string"
     )
     all_triples = (
-        t.select("subj", "pred", "obj")
-        .unionByName(link_triples.select("subj", "pred", "obj"))
-        .unionByName(base_facts)
+        t.select("subj", "pred", "obj", no_prob)
+        .unionByName(link_triples.select("subj", "pred", "obj", "prob"))
+        .unionByName(base_facts.select("subj", "pred", "obj", no_prob))
     )
     pairs = canon.sameas_pairs_from_triples(t).unionByName(
         canon.name_conflict_pairs(
@@ -87,49 +105,97 @@ def run_pipeline(
         ).select(F.col("a"), F.col("b"))
     )
     merge_map = stage("merge_map", lambda: canon.merge_map_from_pairs(pairs))
-    canon_triples_df = stage(
-        "canon_triples",
-        lambda: canon.relabel_edges(all_triples, merge_map)[0],
-    )
-    _, prob_conflicts = canon.relabel_edges(all_triples, merge_map)
 
-    # 4. graph materialization (long ids, pred-bucket partitioning)
+    def relabel_both():
+        # ONE relabel computation feeding ONE checkpoint write: resolved
+        # rows and conflict rows land together, flagged, and are split by
+        # filter on the re-read — the 3-join relabel plan executes once.
+        resolved, conflicts = canon.relabel_edges(all_triples, merge_map)
+        return resolved.withColumn("is_conflict", F.lit(False)).unionByName(
+            conflicts.select(
+                "subj", "pred", "obj", no_prob, F.lit(True).alias("is_conflict")
+            )
+        )
+
+    relabeled = stage("canon_triples", relabel_both)
+    canon_triples_df = relabeled.filter(~F.col("is_conflict")).drop("is_conflict")
+    prob_conflicts = relabeled.filter(F.col("is_conflict")).select(
+        "subj", "pred", "obj"
+    )
+
+    # 4. graph materialization (long ids, pred-bucket partitioning).
+    #    Auto-typing (wikidata.cpp:808-814) happens at import time in the
+    #    reference, i.e. BEFORE reasoning — so with_types is also the
+    #    reasoning input below.
     with_types = canon_triples_df.unionByName(
-        graph.auto_type_predicates(canon_triples_df)
+        graph.auto_type_predicates(canon_triples_df).select(
+            "subj", "pred", "obj", no_prob
+        )
     )
     edges = stage(
         "edges", lambda: graph.build_edges(with_types), partition_by=["pred_bucket"]
     )
+
+    # rule-constant id resolution (tiny: ~20 constants, one collect) — the
+    # same deterministic hash build_edges uses, so rule ids and data ids meet
+    rules_pos = Rz.wikidata_rules()
+    rules_con = Rz.wikidata_contradiction_rules()
+    consts = sorted(Rz.rule_constants(rules_pos + rules_con))
+    cmap = {
+        r.name: r.node
+        for r in spark.createDataFrame([(c,) for c in consts], "name string")
+        .select("name", graph.nid(F.col("name")).alias("node"))
+        .collect()
+    }
+    const_names = spark.createDataFrame(
+        [(cmap[c], graph.WIKIDATA_LANG, c) for c in consts],
+        "node long, lang string, name string",
+    )
     names = stage(
         "names",
         lambda: graph.build_names(
-            canon_triples_df,
+            with_types,
             canon.relabel_column(labels, "node", merge_map).dropDuplicates(
                 ["node", "lang", "name"]
             ),
-        ),
+        )
+        .unionByName(const_names)
+        .dropDuplicates(["node", "lang", "name"]),
     )
     nodes = graph.build_nodes(edges)
 
-    # 5. reasoning to fixpoint + contradiction sweep
+    # 5. reasoning to fixpoint + contradiction sweep — in long-id space
     counters: dict = {}
+    id_edges = edges.select("subj", "pred", "obj")
     if reason:
-        fp = run_fixpoint(
-            canon_triples_df,
-            Rz.wikidata_rules(),
-            contradiction_rules=Rz.wikidata_contradiction_rules(),
-        )
-        saturated = (
-            stage("saturated", lambda: fp.edges) if store else fp.edges
-        )
-        deduced, contradictions = fp.deduced, fp.contradictions
-        counters.update(
-            {"fixpoint_iterations": fp.iterations, "deduced": fp.n_deduced,
-             "fixpoint_log": fp.log}
-        )
+        long_rules = Rz.resolve_rules(rules_pos, cmap)
+        long_contras = Rz.resolve_rules(rules_con, cmap)
+        if store is not None and store.complete("saturated"):
+            # resume: the fixpoint driver loop is eager — skip it entirely
+            # when the saturated stage already committed
+            saturated_ids = store.read(spark, "saturated")
+            deduced = saturated_ids.join(
+                id_edges, on=["subj", "pred", "obj"], how="left_anti"
+            )
+            contradictions = evaluate_contradictions(saturated_ids, long_contras)
+            counters["resumed_reasoning"] = True
+        else:
+            fp = run_fixpoint(
+                id_edges, long_rules, contradiction_rules=long_contras
+            )
+            saturated_ids = (
+                stage("saturated", lambda: fp.edges) if store else fp.edges
+            )
+            deduced, contradictions = fp.deduced, fp.contradictions
+            counters.update(
+                {"fixpoint_iterations": fp.iterations, "deduced": fp.n_deduced,
+                 "fixpoint_log": fp.log}
+            )
+        saturated = graph.ids_to_qids(saturated_ids, names)
     else:
-        saturated = canon_triples_df
-        deduced = canon_triples_df.limit(0)
+        saturated_ids = id_edges
+        saturated = with_types.select("subj", "pred", "obj")
+        deduced = id_edges.limit(0)
         contradictions = spark.createDataFrame(
             [], "rule_id string, bindings map<string,string>"
         )
@@ -143,6 +209,7 @@ def run_pipeline(
         edges=edges,
         names=names,
         nodes=nodes,
+        saturated_ids=saturated_ids,
         saturated=saturated,
         deduced=deduced,
         contradictions=contradictions,
