@@ -28,7 +28,16 @@ from zelph_spark.reasoning import evaluate_contradictions, run_fixpoint  # noqa:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # The testdata doc/embedding tables are single-row-group parquet
+        # files: one scan split, so every downstream map stage (shingling,
+        # hashing, cosine) runs on ONE core. Production inputs arrive in
+        # many splits; this REBALANCE-style spread restores the map-side
+        # parallelism the plan would naturally have at scale (rows are tiny
+        # relative to the compute per row, so the one-time shuffle is noise).
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,10 @@ def test_ivf_assignment_partitions_all_vectors(spark, emb):
     assigned, cents = similarity.ivf_assign(emb, n_centroids=8)
     assert assigned.count() == emb.count()
     assert assigned.select("centroid_id").distinct().count() <= 8
+    # centroid selection must be a TakeOrdered (per-partition top-k), never
+    # a single-task global Sort/Window over the full embedding table
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_embedding_near_dup_pairs_self_consistency(spark, emb):

@@ -28,19 +28,33 @@ from pyspark.sql import DataFrame, functions as F
 PAIR = ["subj", "obj"]
 
 
+AUTO_SWITCH_ROUND = 3
+
+
 def transitive_closure(
-    pairs: DataFrame, method: str = "linear", max_iter: int = 64
+    pairs: DataFrame, method: str = "auto", max_iter: int = 64
 ) -> DataFrame:
-    """All (subj, obj) with a directed path subj ->+ obj ('+' closure)."""
+    """All (subj, obj) with a directed path subj ->+ obj ('+' closure).
+
+    ``auto`` (default, mirroring the reference's direct-vs-index adaptivity,
+    zelph.cpp:44-47): run cheap linear rounds first — shallow graphs
+    (taxonomies) finish before the switch — then flip to doubling so a deep
+    chain costs O(log diameter) further rounds instead of one per level.
+    Any prefix of linear rounds followed by doubling yields the identical
+    closure (every added pair is a concatenation of real paths)."""
     base = pairs.select(*PAIR).distinct().localCheckpoint()
     reach = base
     frontier = base
-    for _ in range(max_iter):
-        left = reach if method == "doubling" else frontier
+    for rnd in range(max_iter):
+        if method == "auto":
+            doubling = rnd >= AUTO_SWITCH_ROUND
+        else:
+            doubling = method == "doubling"
+        left = reach if doubling else frontier
         # rename the build side instead of DataFrame aliases: frontier and
         # base can be the SAME checkpointed plan, and alias-based self-joins
         # hit attribute-reuse resolution failures (key not found: subj#N)
-        right = (reach if method == "doubling" else base).select(
+        right = (reach if doubling else base).select(
             F.col("subj").alias("_rs"), F.col("obj").alias("_ro")
         )
         step = (

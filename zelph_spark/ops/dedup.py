@@ -102,12 +102,21 @@ def minhash_signatures(
     shingles: DataFrame, key: str = "doc_id", num_hashes: int = 64
 ) -> DataFrame:
     """(key, sig array<bigint>): column-parallel MinHash — one aggregation,
-    num_hashes min() columns over seeded xxhash64 of each shingle."""
+    num_hashes min() columns.
+
+    The variable-length shingle string is hashed ONCE; the per-function
+    hashes re-hash that single 8-byte value with a seed (still a proper
+    64-bit hash family, but the string is scanned once instead of
+    num_hashes times — the round-1 sweep re-evaluated xxhash64 over the
+    string per function and dominated the minhash bench)."""
+    pre = shingles.select(
+        F.col(key), F.xxhash64(F.col("shingle")).alias("h")
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    wide = shingles.groupBy(key).agg(*aggs)
+    wide = pre.groupBy(key).agg(*aggs)
     return wide.select(
         F.col(key), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )

@@ -99,20 +99,41 @@ def lsh_buckets_multi(
 ) -> DataFrame:
     """One (table, bucket) row per vector per table. Candidate recall for a
     per-plane agreement probability p is 1 - (1 - p^n_planes)^n_tables —
-    n_tables is the recall knob, n_planes the selectivity knob."""
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    _bucket_expr(vec_col, n_planes, dim, t).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-    ).alias("tb")
-    return embeddings.select("*", tb).select(
-        *embeddings.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    n_tables is the recall knob, n_planes the selectivity knob.
+
+    All (n_tables x n_planes) projections happen in ONE Arrow-batched
+    pandas UDF as a single numpy matmul — dense numeric inner loops are
+    exactly where a vectorized UDF beats interpreted Catalyst higher-order
+    functions (the per-plane ``aggregate(zip_with(...))`` chain evaluated a
+    lambda per element per plane: ~n_tables*n_planes*dim interpreted calls
+    per row). Plane values are identical to :func:`_hyperplane`, so bucket
+    ids are unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    weights = np.array(
+        [
+            _hyperplane(dim, 1000 * t + i)
+            for t in range(n_tables)
+            for i in range(n_planes)
+        ]
+    ).T  # (dim, n_tables*n_planes)
+    bit_mult = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def _buckets(v):
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ weights > 0).astype(np.int64)
+        per_table = bits.reshape(len(v), -1, len(bit_mult)) * bit_mult
+        return pd.Series(list(per_table.sum(axis=2)))
+
+    # explicit eval type: `from __future__ import annotations` stringifies
+    # hints, so inference can't see pd.Series -> pd.Series
+    buckets = pandas_udf(_buckets, "array<long>", PandasUDFType.SCALAR)
+
+    out = embeddings.withColumn("_bkts", buckets(F.col(vec_col)))
+    return out.select(
+        *embeddings.columns, F.posexplode("_bkts").alias("table", "bucket")
     )
 
 
@@ -173,13 +194,14 @@ def ivf_assign(
     smallest ids — a seed-free stand-in for k-means; the *plumbing* is the
     scale path: assignment is a broadcast join, search probes one cell).
     Returns (assigned, centroids)."""
+    # TakeOrdered (sort().limit(k)) picks the centroids — a per-partition
+    # top-k then a k-row driver merge, NOT a single-task global sort of the
+    # whole table (the round-1 unpartitioned Window was exactly that).
+    # The row_number window below runs on <= n_centroids rows only.
+    small = embeddings.sort(F.col(id_col).asc()).limit(n_centroids)
     w = Window.orderBy(F.col(id_col).asc())
-    cents = (
-        embeddings.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_centroids)
-        .select(
-            F.col("rn").alias("centroid_id"), F.col(vec_col).alias("cvec")
-        )
+    cents = small.withColumn("rn", F.row_number().over(w)).select(
+        F.col("rn").alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
     scored = embeddings.join(F.broadcast(cents)).withColumn(
         "sim", cosine(vec_col, "cvec")
