@@ -53,7 +53,10 @@ def run_e2e_pipeline(
         t0 = time.time()
         res = run_pipeline(spark, docs, root, reason=reason)
         n_edges = res.edges.count()
-        n_sat = res.saturated.count()
+        # the materialized product is the long-id fact set + names table
+        # (both staged eagerly above); res.saturated is the QID-string
+        # display join, not part of the construction contract
+        n_sat = res.saturated_ids.count()
         dt = time.time() - t0
     finally:
         if root:

@@ -57,6 +57,28 @@ def test_extract_all_matches_golden(spark, fixture_docs_df):
     assert got_labels == want_labels
 
 
+def test_mentions_jvm_matches_python_oracle(spark, fixture_docs_df):
+    """The JVM n-gram construction (regexp_extract_all + transform/slice)
+    produces exactly the rows of the Python mirror extract_mentions."""
+    extracted = extract.extract_all(fixture_docs_df).cache()
+    got = {
+        (r.doc_id, r.src_entity, r.surface, r.pos)
+        for r in extract.mentions(extracted).collect()
+    }
+    want = set()
+    for r in extract.reassemble_text(fixture_docs_df).collect():
+        nl = r.full_text.find("\n")
+        body = "" if nl == -1 else r.full_text[nl + 1:]
+        eid, _, _ = extract.parse_entity_line(
+            r.full_text if nl == -1 else r.full_text[:nl]
+        )
+        if eid is None or not body:
+            continue
+        for surface, pos in extract.extract_mentions(body):
+            want.add((r.doc_id, eid, surface, pos))
+    assert got == want and got
+
+
 def test_span_sequence_invariant(spark, fixture_docs_df):
     """Per-row invariant (BASELINE.json input_hint): the spans column —
     (kind, text, media_ref, order) — survives the pipeline untouched.

@@ -122,16 +122,17 @@ def parse_entity_line(line: str, lang: str = "en") -> tuple[
 
 
 def extract_mentions(body: str, max_ngram: int = 3) -> list[tuple[str, int]]:
-    """Candidate mention surfaces from free text: lowercase word n-grams
-    (1..max_ngram) with token position. Candidate *generation* only — the
-    linking stage resolves against the broadcast QID dictionary (the scored
-    analog of zelph's name-map lookup, ``zelph.cpp:117-187``)."""
-    tokens = [(m.group(0), m.start()) for m in _RE_TOKEN.finditer(body.lower())]
+    """Python mirror of the JVM mention construction in :func:`mentions`
+    (kept as the differential test oracle): lowercase word n-grams
+    (1..max_ngram) with the START TOKEN INDEX as position. ``pos`` only
+    identifies the mention *site* — the linking window partitions by
+    (doc_id, pos) — and token index is bijective with the first token's
+    char offset, so site semantics are unchanged."""
+    tokens = _RE_TOKEN.findall(body.lower())
     out = []
     for n in range(1, max_ngram + 1):
         for i in range(len(tokens) - n + 1):
-            surface = " ".join(t[0] for t in tokens[i : i + n])
-            out.append((surface, tokens[i][1]))
+            out.append((" ".join(tokens[i : i + n]), i))
     return out
 
 
@@ -155,10 +156,11 @@ def extract_all(docs: DataFrame, lang: str = "en", with_mentions: bool = True) -
                 if label is not None:
                     rows.append((doc_id, "label", eid, None, None, lang, label, None, 0))
                 if with_mentions and body:
-                    for surface, pos in extract_mentions(body):
-                        rows.append(
-                            (doc_id, "mention", eid, None, None, None, None, surface, pos)
-                        )
+                    # ONE row per doc carrying the body: the high-fanout
+                    # n-gram expansion (~3x tokens rows per doc) happens
+                    # JVM-side in :func:`mentions`, not in Python — this
+                    # pass only attributes the body to its accepted entity.
+                    rows.append((doc_id, "entity", eid, None, None, None, None, body, 0))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -189,8 +191,40 @@ def labels(extracted: DataFrame) -> DataFrame:
     )
 
 
-def mentions(extracted: DataFrame) -> DataFrame:
-    return (
-        extracted.filter(F.col("row_kind") == "mention")
-        .select("doc_id", F.col("subj").alias("src_entity"), "surface", "pos")
+def mentions(extracted: DataFrame, max_ngram: int = 3) -> DataFrame:
+    """Candidate mention surfaces: lowercase word n-grams (1..max_ngram)
+    with start-token-index positions, built ENTIRELY JVM-side from the
+    per-doc 'entity' rows — tokenization via regexp_extract_all, n-grams via
+    transform(sequence)+slice (the word_shingles construction). Candidate
+    *generation* only — linking resolves against the broadcast QID
+    dictionary (the scored analog of zelph's name-map lookup,
+    ``zelph.cpp:117-187``). The round-1 version built these rows in per-row
+    Python inside mapInPandas — the highest-fanout extraction output."""
+    ent = extracted.filter(F.col("row_kind") == "entity").select(
+        "doc_id",
+        F.col("subj").alias("src_entity"),
+        F.regexp_extract_all(F.lower("surface"), F.lit("[a-z0-9]+"), 0).alias(
+            "toks"
+        ),
     )
+    n_tok = F.size("toks")
+    empty = F.array().cast("array<struct<surface:string,pos:int>>")
+
+    def gram_expr(n):
+        # single-arg lambda only: a second parameter would make pyspark pass
+        # the transform() element INDEX into it
+        return F.when(
+            n_tok >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_tok - n),
+                lambda i: F.struct(
+                    F.array_join(F.slice("toks", i + 1, n), " ").alias("surface"),
+                    i.cast("int").alias("pos"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    grams = [gram_expr(n) for n in range(1, max_ngram + 1)]
+    return ent.select(
+        "doc_id", "src_entity", F.explode(F.concat(*grams)).alias("g")
+    ).select("doc_id", "src_entity", F.col("g.surface").alias("surface"), F.col("g.pos").alias("pos"))

@@ -104,14 +104,6 @@ def _distinct_preds(df: DataFrame) -> set:
     return {r.pred for r in df.select("pred").distinct().collect()}
 
 
-def _pred_counts(df: DataFrame) -> dict:
-    """One action yielding both the round's fact count and the delta
-    predicate set (replaces separate count() + distinct() driver calls —
-    every fixpoint round has a serial driver floor, keep it at one job)."""
-    return {r.pred: r.n for r in df.groupBy("pred").agg(
-        F.count(F.lit(1)).alias("n")).collect()}
-
-
 def _materialize(df: DataFrame, scratch: str | None, name: str) -> DataFrame:
     """Cut lineage AND reset Catalyst size statistics.
 
@@ -159,12 +151,23 @@ def run_fixpoint(
     import tempfile
 
     scratch = tempfile.mkdtemp(prefix="zelph_fixpoint_")
+    spark = edges.sparkSession
+    # Size-first AQE coalescing for the loop's lifetime: with the default
+    # parallelism-first policy every post-shuffle stage keeps ~core-count
+    # partitions even when a round's delta is a handful of rows, so each of
+    # the ~40 rule branches schedules full-width stages — pure task-launch
+    # overhead on tail rounds. Size-first collapses tiny shuffles to one
+    # partition while leaving genuinely large rounds wide.
+    pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    pf_old = spark.conf.get(pf_key, "true")
+    spark.conf.set(pf_key, "false")
     try:
         return _run_fixpoint_inner(
             edges, rules, contradiction_rules, semi_naive, max_iter, scratch,
             fuse,
         )
     finally:
+        spark.conf.set(pf_key, pf_old)
         # every returned DataFrame is rooted at localCheckpointed RDDs
         # (full/base), never at the scratch parquet files
         shutil.rmtree(scratch, ignore_errors=True)
@@ -207,17 +210,31 @@ def _run_fixpoint_inner(
 
     def materialize_new(cand, full, name):
         """Dedup candidates, anti-join against known facts, land as parquet;
-        returns (delta_df, path, per-pred counts) with one write job + one
-        metadata-cheap count scan."""
+        returns (delta_df, path, n_rows, pred_set) with exactly ONE job:
+        row count and delta-predicate set ride the write job as Observation
+        metrics instead of a second scan."""
+        from pyspark.sql import Observation
+
         if cand is None:
-            return None, None, {}
+            return None, None, 0, set()
         out = cand.dropDuplicates(EDGE_COLS).join(
             full, on=EDGE_COLS, how="left_anti"
         )
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("pred").alias("preds"),
+        )
         path = f"{scratch}/{name}"
-        out.write.mode("overwrite").parquet(path)
-        d = spark.read.parquet(path)
-        return d, path, _pred_counts(d)
+        # REBALANCE: let AQE size the output files — without it the anti-join
+        # writes one near-empty file per task, and every later round re-opens
+        # rounds x partitions tiny files per rule branch when scanning `full`
+        out.hint("rebalance").write.mode("overwrite").parquet(path)
+        m = obs.get
+        return spark.read.parquet(path), path, m["n"], set(m["preds"])
+
+    import time as _time
 
     full = base
     log: list[dict] = []
@@ -226,34 +243,34 @@ def _run_fixpoint_inner(
     present = _distinct_preds(base)  # O2 extent restriction, kept current
 
     # classic first pass (reasoning_seminaive.cpp:236-242)
-    delta, dpath, dcounts = materialize_new(
+    _t0 = _time.time()
+    delta, dpath, n_delta, delta_preds = materialize_new(
         fire_all(full, present=present), full, "delta_0"
     )
     while iterations < max_iter:
         iterations += 1
-        n_delta = sum(dcounts.values())
-        log.append({"iter": iterations, "stratum": "positive", "new": n_delta})
+        log.append({"iter": iterations, "stratum": "positive", "new": n_delta,
+                    "sec": round(_time.time() - _t0, 2)})
+        _t0 = _time.time()
         if n_delta == 0:
             # positive quiescence -> deferred NAF stratum (R9)
             if not naf_rules:
                 break
-            naf_new, npath, ncounts = materialize_new(
+            naf_new, npath, n_naf, naf_preds = materialize_new(
                 _fire_positive(naf_rules, full, present_preds=present),
                 full, f"naf_{iterations}",
             )
-            n_naf = sum(ncounts.values())
             log.append({"iter": iterations, "stratum": "naf", "new": n_naf})
             if n_naf == 0:
                 break
             # NAF deductions re-open the positive stratum. The union into
             # `full` / total_new happens ONCE at the loop top like any other
             # delta (a pre-union here double-counted and duplicated rows).
-            delta, dpath, dcounts = naf_new, npath, ncounts
+            delta, dpath, n_delta, delta_preds = naf_new, npath, n_naf, naf_preds
             continue
         total_new += n_delta
         delta_paths.append(dpath)
         full = full_df()
-        delta_preds = set(dcounts)
         present |= delta_preds
         if semi_naive:
             # broadcast the delta side when it is small: every rule-position
@@ -265,7 +282,7 @@ def _run_fixpoint_inner(
             cand = fire_all(full, seed, delta_preds, present)
         else:
             cand = fire_all(full, present=present)
-        delta, dpath, dcounts = materialize_new(
+        delta, dpath, n_delta, delta_preds = materialize_new(
             cand, full, f"delta_{iterations}"
         )
 
