@@ -389,6 +389,34 @@ GROUP BY sp.obj ORDER BY k
 )
 
 
+def q_kg_sparql_subquery(spark, sf_dir):
+    """SPARQL subquery + numeric FILTER (Q13 / sparql.zph:1016): the class
+    histogram computed in a { SELECT ... GROUP BY } subquery, outer FILTER
+    keeps classes with more than 300 transitive instances."""
+    from zelph_spark.sparql import sparql
+
+    base = _taxonomy_triples(spark, sf_dir)
+    out = sparql(
+        base,
+        "SELECT ?k ?n WHERE { "
+        "{ SELECT ?k (COUNT(?x) AS ?n) WHERE { ?x P31 ?c . ?c P279+ ?k } "
+        "GROUP BY ?k } FILTER(?n > 300) }",
+    )
+    return out.select("k", F.col("n").cast("bigint").alias("n")).orderBy("k")
+
+
+ORACLE_KG_SPARQL_SUBQUERY = (
+    _TAXONOMY_ORACLE
+    + """
+SELECT k, n FROM (
+  SELECT sp.obj AS k, COUNT(*) AS n
+  FROM isa i JOIN subplus sp ON i.obj = sp.subj
+  GROUP BY sp.obj
+) WHERE n > 300 ORDER BY k
+"""
+)
+
+
 def q_kg_degrees(spark, sf_dir):
     """Degree/cardinality stats (F8): facts per predicate of the derived
     taxonomy graph."""
@@ -415,6 +443,63 @@ SELECT pred, COUNT(*) AS n_facts, COUNT(DISTINCT subj) AS n_subjects
 FROM base GROUP BY pred ORDER BY pred
 """
 )
+
+
+def q_kg_constraint_contradictions(spark, sf_dir):
+    """S5 end-to-end: P2302 property-constraint statements (rendered through
+    the REAL dump-line path, wikidata.cpp:401-547) compile to contradiction
+    rules, evaluated by the FUSED sweep over edges derived from customers:
+    conflicts-with(P100, P200) fires for custkey%5==0 rows (they carry both
+    predicates), none-of(P101, K3) fires for nation 3."""
+    import pandas as pd
+
+    from zelph_spark import datagen, statements as S
+
+    ents = [
+        {"id": "P100", "labels": {}, "claims": [
+            ("P2302", ("item", S.CONFLICTS_WITH), [("P2306", ("item", "P200"))]),
+        ]},
+        {"id": "P101", "labels": {}, "claims": [
+            ("P2302", ("item", S.NONE_OF), [("P2305", ("item", "K3"))]),
+        ]},
+    ]
+    lines = spark.createDataFrame(
+        pd.DataFrame({"line": [datagen.render_line(e) for e in ents]})
+    )
+    rules, _ = S.constraint_rules(S.extract_statements(lines))
+    c = _t(spark, sf_dir, "customer")
+    ckey = F.concat(F.lit("C"), F.col("c_custkey"))
+    edges = (
+        c.select(ckey.alias("subj"), F.lit("P100").alias("pred"),
+                 F.concat(F.lit("K"), F.col("c_nationkey")).alias("obj"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 5 == 0).select(
+                ckey.alias("subj"), F.lit("P200").alias("pred"),
+                F.concat(F.lit("R"), F.col("c_custkey") % 3).alias("obj"))
+        )
+        .unionByName(
+            c.select(ckey.alias("subj"), F.lit("P101").alias("pred"),
+                     F.concat(F.lit("K"), F.col("c_nationkey")).alias("obj"))
+        )
+    )
+    cons = evaluate_contradictions(edges, rules)
+    return (
+        cons.select("rule_id", F.col("bindings")["I"].alias("i"))
+        .distinct()
+        .orderBy("rule_id", "i")
+    )
+
+
+ORACLE_KG_CONSTRAINTS = """
+WITH e1 AS (
+  SELECT 'C' || c_custkey AS i, 'K' || c_nationkey AS v, c_custkey AS k
+  FROM customer
+)
+SELECT 'c-conflict-P100-P200' AS rule_id, i FROM e1 WHERE k % 5 = 0
+UNION
+SELECT 'c-noneof-P101-K3' AS rule_id, i FROM e1 WHERE v = 'K3'
+ORDER BY rule_id, i
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -572,12 +657,40 @@ ORDER BY a, b
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup candidates — hash functions are engine-specific,
-    so no SQL oracle (rows-only check); semantics tested against exact
-    Jaccard in tests/test_ops.py."""
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification: the LSH
+    banding generates candidates, every candidate is re-scored against the
+    true shingle sets — so the DuckDB all-pairs oracle hash-matches (the
+    est_jaccard variant stays covered by tests/test_ops.py)."""
     d = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, n=2), num_hashes=64)
-    return dedup.minhash_lsh_pairs(sig, bands=16, threshold=0.2)
+    return dedup.minhash_verified_pairs(
+        dedup.word_shingles(d, n=2), num_hashes=64, bands=32, threshold=0.5
+    ).orderBy("a", "b")
+
+
+ORACLE_DEDUP_MINHASH = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS tok,
+         generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM toks
+  QUALIFY shingle IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+           JOIN sizes sb ON inter.b = sb.doc_id
+WHERE i / (sa.sz + sb.sz - i) >= 0.5
+ORDER BY a, b
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -760,7 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_roundtrip": q_kg_extract_roundtrip,
         "kg_statements": q_kg_statements,
         "kg_sparql": q_kg_sparql,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_degrees": q_kg_degrees,
+        "kg_constraint_contradictions": q_kg_constraint_contradictions,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -788,16 +903,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_roundtrip": ORACLE_KG_EXTRACT,
         "kg_statements": ORACLE_KG_STATEMENTS,
         "kg_sparql": ORACLE_KG_SPARQL,
+        "kg_sparql_subquery": ORACLE_KG_SPARQL_SUBQUERY,
         "kg_degrees": ORACLE_KG_DEGREES,
+        "kg_constraint_contradictions": ORACLE_KG_CONSTRAINTS,
         "q1_pricing_summary": ORACLE_Q1,
         "q3_shipping_priority": ORACLE_Q3,
         "q5_nation_revenue": ORACLE_Q5,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_minhash": ORACLE_DEDUP_MINHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "text_langid": ORACLE_TEXT_LANGID,
         "sim_topk": ORACLE_SIM_TOPK,
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_hourly": ORACLE_EVENTS_HOURLY,
-        # dedup_minhash / dedup_simhash / sim_lsh: rows-only by design
+        # dedup_simhash / sim_lsh: rows-only by design (engine-specific
+        # hashing; semantics covered by tests/test_ops.py)
     }

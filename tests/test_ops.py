@@ -95,6 +95,18 @@ def test_minhash_estimates_match_exact_jaccard(spark):
     assert not any(3 in p for p in got)
 
 
+def test_minhash_verified_equals_exact_jaccard(spark, docs):
+    """LSH blocking + exact verify must equal exact all-pairs Jaccard at the
+    oracle threshold (banding recall 1.0 on the test corpus — this is what
+    flips dedup_minhash from rows-only to a full DuckDB hash match)."""
+    sh = dedup.word_shingles(docs, n=2).cache()
+    got = {(r.a, r.b, r.jaccard) for r in dedup.minhash_verified_pairs(
+        sh, num_hashes=64, bands=32, threshold=0.5).collect()}
+    want = {(r.a, r.b, r.jaccard) for r in dedup.jaccard_pairs(
+        sh, threshold=0.5, max_df=None).collect()}
+    assert got == want
+
+
 def test_simhash_near_pairs(spark):
     df = spark.createDataFrame(DUP_DOCS)
     sims = dedup.simhash(df)

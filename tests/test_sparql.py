@@ -96,3 +96,116 @@ def test_rejections(edges):
     ):
         with pytest.raises(SparqlError):
             sparql(edges, bad)
+
+
+def test_filter_numeric_comparison(edges):
+    """Bare number literal -> typed numeric comparison, NOT lexicographic
+    (test_sparql.cpp 'FILTER with numeric comparison': P569 1985/1995 > 1990).
+    Lexicographic would also pass here, so use a case where they diverge."""
+    out = sparql(edges, "SELECT ?x WHERE { ?x age ?a . FILTER(?a > 9) }")
+    # lexicographic '37' > '9' and '42' > '9' are both FALSE; numeric keeps both
+    assert rows(out) == {("alice",), ("carol",)}
+    out2 = sparql(edges, "SELECT ?x WHERE { ?x age ?a . FILTER(?a < 40.5) }")
+    assert rows(out2) == {("carol",)}
+
+
+def test_filter_str_and_lang(edges):
+    """str(?x) compares node names; lang(?x) is always ''
+    (sparql.zph:824-825; test_sparql.cpp str()-dedup + label idioms)."""
+    out = sparql(
+        edges,
+        "SELECT ?a ?b WHERE { ?a knows carol . ?b knows carol . "
+        "FILTER ( ( str(?a) < str(?b) ) ) }",
+    )
+    assert rows(out) == {("alice", "bob")}
+    # lang() = "" never matches "en", but OPTIONAL rows must survive
+    out2 = sparql(
+        edges,
+        'SELECT ?x ?l WHERE { ?x type admin OPTIONAL { ?x knows ?l . '
+        'FILTER ( lang(?l) = "en" ) } }',
+    )
+    assert rows(out2) == {("bob", None)}
+    # lang() = "" DOES match the empty string
+    out3 = sparql(
+        edges,
+        'SELECT ?x WHERE { ?x type admin . FILTER ( lang(?x) = "" ) }',
+    )
+    assert rows(out3) == {("bob",)}
+
+
+def test_subquery_joined_with_outer(edges):
+    """{ SELECT ... } joined with an outer pattern (test_sparql.cpp
+    'subquery joined with outer pattern')."""
+    out = sparql(
+        edges,
+        "SELECT ?x WHERE { { SELECT ?x WHERE { ?x knows carol . } } "
+        "?x age ?a . }",
+    )
+    assert rows(out) == {("alice",)}  # alice and bob know carol; only alice has an age
+
+
+def test_nested_subqueries(edges):
+    """Nested subqueries renaming through the chain (test_sparql.cpp
+    'nested subqueries')."""
+    out = sparql(
+        edges,
+        "SELECT DISTINCT ?third WHERE { "
+        "{ SELECT ?second WHERE { "
+        "  { SELECT ?first WHERE { alice knows ?first . } } "
+        "  ?first knows ?second . } } "
+        "?second knows ?third . }",
+    )
+    assert rows(out) == {("dave",)}  # alice->bob/carol->carol->dave
+
+
+def test_subquery_with_group_count_order(edges):
+    """Subquery with GROUP BY / COUNT / ORDER BY inside the braces
+    (test_sparql.cpp 'subquery with GROUP BY, COUNT and ORDER BY')."""
+    out = sparql(
+        edges,
+        "SELECT ?x ?n WHERE { { "
+        "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x knows ?y } "
+        "GROUP BY ?x ORDER BY DESC(?n) } }",
+    )
+    assert rows(out) == {("alice", 2), ("bob", 1), ("carol", 1)}
+
+
+def test_prefix_declarations(edges, spark):
+    """Declared prefixes expand to full IRIs, then pass the Wikidata-IRI
+    stripping; unknown IRIs keep the FULL IRI as node name
+    (test_sparql.cpp custom-PREFIX cases; sparql.zph:104-123,307-332)."""
+    import pandas as pd
+
+    g = spark.createDataFrame(pd.DataFrame(
+        [("QA", "http://example.org/knows", "QB"),
+         ("QC", "P279", "Q500")],
+        columns=["subj", "pred", "obj"],
+    ))
+    out = sparql(
+        g,
+        "PREFIX ex: <http://example.org/> "
+        "SELECT ?x WHERE { QA ex:knows ?x . }",
+    )
+    assert rows(out) == {("QB",)}
+    # wikidata-IRI prefixes strip to bare ids — incl. empty local names
+    out2 = sparql(
+        g,
+        "PREFIX violated_1: <http://www.wikidata.org/entity/Q500> "
+        "SELECT ?i WHERE { ?i wdt:P279+ violated_1: . }",
+    )
+    assert rows(out2) == {("QC",)}
+    # well-known prefixes resolve without declaration: wd:/wdt: strip
+    out3 = sparql(g, "SELECT ?c WHERE { wd:QC wdt:P279 ?c . }")
+    assert rows(out3) == {("Q500",)}
+
+
+def test_both_unbound_star_rejected(edges):
+    """A bare ?x p* ?y step with neither end constrained is rejected
+    (sparql.zph:735; test_sparql.cpp:338 'ludicrous results')."""
+    with pytest.raises(SparqlError):
+        sparql(edges, "SELECT ?x ?y WHERE { ?x knows* ?y . }").collect()
+    # but the same step constrained by another pattern is fine
+    out = sparql(
+        edges, "SELECT ?x ?y WHERE { ?x knows* ?y . ?x type admin }"
+    )
+    assert ("bob", "dave") in rows(out) and ("bob", "bob") in rows(out)

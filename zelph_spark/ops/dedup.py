@@ -186,6 +186,49 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    shingles: DataFrame,
+    key: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH blocking with EXACT Jaccard verification: (a, b, jaccard
+    >= threshold), a < b. The LSH banding only generates candidates; every
+    candidate is re-scored against the true shingle sets, so the output is
+    engine-independent (a SQL oracle computing all-pairs exact Jaccard
+    matches it whenever banding recall is 1.0 on the data — at threshold
+    0.5 with 32 bands x 2 rows the per-pair miss probability is
+    (1 - J^2)^32 <= 1e-4). This is the scale shape: candidates come from an
+    equi-join on (band, bucket), the verify join touches candidate pairs
+    only, never all pairs."""
+    sig = minhash_signatures(shingles, key=key, num_hashes=num_hashes)
+    cands = minhash_lsh_pairs(sig, key=key, bands=bands, threshold=0.0).select(
+        "a", "b"
+    )
+    sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = cands.join(shingles.select(F.col(key).alias("a"), "shingle"), "a")
+    inter = (
+        a_sh.join(
+            shingles.select(F.col(key).alias("b"), "shingle"), ["b", "shingle"]
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(key).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(key).alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, col: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:
     """(key, simhash bigint): sign-sum of token-hash bits. Columnar: explode
     tokens, one sum per bit position, reassemble."""

@@ -1,19 +1,28 @@
-"""Thin SPARQL-subset text frontend (SURVEY.md §2.6 Q1/Q14).
+"""SPARQL-subset text frontend (SURVEY.md §2.6 Q1/Q13/Q14).
 
-zelph parses its SPARQL subset with a Janet PEG (``stdlib/sparql.zph:160-270``)
+zelph parses its SPARQL subset with a Janet PEG (``stdlib/sparql.zph:126-280``)
 and evaluates per-solution through the C unification engine. Here the parser
 is a small recursive-descent over the same documented subset
 (``sparql.zph:18-35``) and the evaluator is the existing DataFrame algebra
 (:mod:`zelph_spark.query` + the rule compiler) — one engine for rules,
 native queries, and SPARQL, preserving the homoiconic design.
 
-Supported (mirroring the subset + rejection list at sparql.zph:33-35):
-SELECT [DISTINCT] ?v... | * , WHERE { BGP with ``;``/``,`` lists, OPTIONAL,
-MINUS, UNION, FILTER(?x op ?y|literal) }, property paths ``p+``/``p*`` and
-sequences ``p1/p2``, GROUP BY + COUNT/COUNT(DISTINCT), ORDER BY ASC/DESC,
-LIMIT, prefixes (wd:/wdt:/p:/ps:/pq: pass through as names). Rejected with
-errors: BIND, VALUES, SERVICE, CONSTRUCT, ASK, EXISTS, HAVING, other
-aggregates.
+Supported (mirroring the subset + rejection list at sparql.zph:18-35):
+PREFIX declarations (well-known Wikidata prefixes built in, declared ones
+expand to full IRIs then pass the same Wikidata-IRI stripping,
+``sparql.zph:104-123,307-332``), SELECT [DISTINCT] ?v...|*,
+``{ SELECT ... }`` subqueries (``sparql.zph:1016``, test_sparql.cpp
+subquery corpus), WHERE { BGP with ``;``/``,`` lists, OPTIONAL, MINUS,
+UNION, FILTER }, FILTER comparisons with ``str(?x)`` (node name) and
+``lang(?x)`` (always "" — zelph has no language-tagged literals,
+``sparql.zph:824-825``) and typed numeric comparison for bare number
+literals, property paths ``p+``/``p*`` and sequences ``p1/p2``,
+GROUP BY + COUNT/COUNT(DISTINCT), ORDER BY ASC/DESC, LIMIT.
+
+Rejected with errors: BIND, VALUES, SERVICE, CONSTRUCT, ASK, EXISTS,
+HAVING, other aggregates (sparql.zph:33-35), and a bare ``p*`` step whose
+two ends are unbound variables not constrained by any other pattern in the
+group (``sparql.zph:735``, "ludicrous results" — test_sparql.cpp:338).
 """
 
 from __future__ import annotations
@@ -31,17 +40,39 @@ _REJECT = re.compile(
     re.IGNORECASE,
 )
 
+# Each SPARQL prefix maps to the node-name prefix used in the wikidata
+# language (sparql.zph:106-110): wd:/wdt: strip entirely, the reified
+# statement layer keeps its prefix as part of the node name.
+WIKIDATA_PREFIXES = {
+    "wd": "", "wdt": "",
+    "p": "p:", "pq": "pq:", "ps": "ps:",
+    "psv": "psv:", "pqv": "pqv:", "wdtn": "wdtn:",
+    "wikibase": "wikibase:",
+}
+
+# Full-IRI prefixes map the same way; more specific first (sparql.zph:115-122).
+WD_IRI_PREFIXES = [
+    ("http://www.wikidata.org/entity/", ""),
+    ("http://www.wikidata.org/prop/direct/", ""),
+    ("http://www.wikidata.org/prop/qualifier/", "pq:"),
+    ("http://www.wikidata.org/prop/statement/", "ps:"),
+    ("http://www.wikidata.org/prop/", "p:"),
+    ("http://wikiba.se/ontology#", "wikibase:"),
+]
+
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<lbrace>\{) | (?P<rbrace>\}) |
-        (?P<dot>\.) | (?P<semi>;) | (?P<comma>,) |
+        (?P<dot>\.(?!\d)) | (?P<semi>;) | (?P<comma>,) |
         (?P<kw>OPTIONAL|MINUS|UNION|FILTER)\b |
-        (?P<var>\?[A-Za-z_][A-Za-z0-9_]*) |
-        (?P<iri><[^>]*>) |
-        (?P<literal>"[^"]*") |
-        (?P<path>[A-Za-z_][A-Za-z0-9_:.\-]*(?:/[A-Za-z_][A-Za-z0-9_:.\-]*)+[+*]?) |
+        (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*) |
+        (?P<iri><[^<>\s]*>) |
+        (?P<literal>"[^"]*"|'[^']*') |
+        (?P<number>-?\d+(?:\.\d+)?) |
+        (?P<path>[A-Za-z_][A-Za-z0-9_:.\-]*[+*]?(?:/[A-Za-z_][A-Za-z0-9_:.\-]*[+*]?)+) |
         (?P<name>[A-Za-z_][A-Za-z0-9_:.\-]*[+*]?) |
         (?P<cmp><=|>=|!=|=|<|>) |
+        (?P<star>\*) |
         (?P<lpar>\() | (?P<rpar>\))
     )""",
     re.VERBOSE,
@@ -55,6 +86,8 @@ class SparqlError(ValueError):
 def _tokenize(s: str):
     pos, out = 0, []
     while pos < len(s):
+        if s[pos:].strip() == "":
+            break
         m = _TOKEN.match(s, pos)
         if not m:
             raise SparqlError(f"cannot tokenize at: {s[pos:pos + 30]!r}")
@@ -66,25 +99,44 @@ def _tokenize(s: str):
     return out
 
 
-def _strip_term(tok: tuple[str, str]) -> str:
-    kind, v = tok
-    if kind == "iri":
-        return v[1:-1].rsplit("/", 1)[-1]
-    if kind == "literal":
-        return v[1:-1]
-    return v
+def _strip_wd_iri(iri: str) -> str:
+    """Strip well-known Wikidata IRI prefixes to node names; unknown IRIs
+    keep their FULL IRI as the node name (sparql.zph:288-299 +
+    test_sparql.cpp custom-PREFIX case: the graph node is the full IRI)."""
+    for iri_pfx, name_pfx in WD_IRI_PREFIXES:
+        if iri.startswith(iri_pfx):
+            return name_pfx + iri[len(iri_pfx):]
+    return iri
+
+
+def _resolve_name(name: str, prefixes: dict[str, str]) -> str:
+    """pname resolution (sparql.zph:307-332): well-known prefixes map to
+    node-name prefixes; declared prefixes expand to the full IRI which then
+    passes the same Wikidata-IRI stripping; unknown prefixed names pass
+    through verbatim."""
+    if ":" not in name:
+        return name
+    pfx, local = name.split(":", 1)
+    if pfx in WIKIDATA_PREFIXES:
+        return WIKIDATA_PREFIXES[pfx] + local
+    if pfx in prefixes:
+        return _strip_wd_iri(prefixes[pfx] + local)
+    return name
 
 
 class _Parser:
-    """WHERE-block parser -> algebra tree of ('bgp'|'optional'|'minus'|
-    'union'|'filter', ...) nodes."""
+    """Token parser for SELECT statements and WHERE groups; produces an
+    algebra tree of ('bgp'|'join'|'optional'|'minus'|'union'|'filter'|
+    'select', ...) nodes. Terms are prefix-resolved at parse time."""
 
-    def __init__(self, tokens):
+    def __init__(self, tokens, prefixes=None):
         self.toks = tokens
         self.i = 0
+        self.prefixes = prefixes or {}
 
-    def peek(self):
-        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+    def peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else (None, None)
 
     def eat(self, kind=None, value=None):
         k, v = self.peek()
@@ -92,6 +144,126 @@ class _Parser:
             raise SparqlError(f"expected {value or kind}, got {v!r}")
         self.i += 1
         return (k, v)
+
+    # -- terms ---------------------------------------------------------
+
+    def _resolve(self, tok):
+        kind, v = tok
+        if kind == "iri":
+            return _strip_wd_iri(v[1:-1])
+        if kind == "literal":
+            return v[1:-1]
+        if kind in ("name", "path"):
+            # sequence structure comes from the TOKEN (a resolved node name
+            # may itself contain '/' — full-IRI nodes): elements are joined
+            # with \x00, a byte that cannot appear in names or IRIs
+            mod_parts = []
+            for part in v.split("/"):
+                mod = part[-1] if part and part[-1] in "+*" else ""
+                mod_parts.append(
+                    _resolve_name(part.rstrip("+*"), self.prefixes) + mod
+                )
+            return PATH_SEP.join(mod_parts)
+        return v  # var, number
+
+    def _term(self):
+        k, v = self.peek()
+        if k in ("var", "iri", "literal", "name", "path", "number"):
+            self.eat()
+            return self._resolve((k, v))
+        raise SparqlError(f"expected term, got {v!r}")
+
+    # -- SELECT statements ----------------------------------------------
+
+    def select_stmt(self):
+        """SELECT [DISTINCT] proj WHERE group [GROUP BY|ORDER BY|LIMIT]* —
+        usable at top level AND inside braces ({ SELECT ... } subqueries,
+        sparql.zph:1016)."""
+        self.eat("name", "SELECT")
+        distinct = False
+        k, v = self.peek()
+        if k == "name" and v.upper() == "DISTINCT":
+            self.eat()
+            distinct = True
+        proj: list | str = []
+        while True:
+            k, v = self.peek()
+            if k == "star":
+                self.eat()
+                proj = "*"
+            elif k == "var":
+                self.eat()
+                proj.append(("var", v[1:]))
+            elif k == "lpar":
+                proj.append(self._count_spec())
+            elif k == "name" and v.upper() == "WHERE":
+                break
+            else:
+                raise SparqlError(f"unexpected token in projection: {v!r}")
+        self.eat("name", "WHERE")
+        tree = self.group()
+        group_by: list[str] = []
+        order = None
+        limit = None
+        while True:
+            k, v = self.peek()
+            if k != "name":
+                break
+            kw = v.upper()
+            if kw == "GROUP":
+                self.eat()
+                self.eat("name", "BY")
+                while self.peek()[0] == "var":
+                    group_by.append(self.eat()[1][1:])
+            elif kw == "ORDER":
+                self.eat()
+                self.eat("name", "BY")
+                dirn = "ASC"
+                k2, v2 = self.peek()
+                if k2 == "name" and v2.upper() in ("ASC", "DESC"):
+                    dirn = v2.upper()
+                    self.eat()
+                if self.peek()[0] == "lpar":
+                    self.eat("lpar")
+                    var = self.eat("var")[1][1:]
+                    self.eat("rpar")
+                else:
+                    var = self.eat("var")[1][1:]
+                order = (dirn, var)
+            elif kw == "LIMIT":
+                self.eat()
+                limit = int(self.eat("number")[1])
+            else:
+                break
+        return ("select", distinct, proj, tree, group_by, order, limit)
+
+    def _count_spec(self):
+        """(COUNT([DISTINCT] ?v|*) [AS ?alias]) -> ('count', distinct,
+        target_or_None, alias)."""
+        self.eat("lpar")
+        self.eat("name", "COUNT")
+        self.eat("lpar")
+        dist = False
+        k, v = self.peek()
+        if k == "name" and v.upper() == "DISTINCT":
+            self.eat()
+            dist = True
+        k, v = self.peek()
+        if k == "star":
+            self.eat()
+            target = None
+        else:
+            target = self.eat("var")[1][1:]
+        self.eat("rpar")
+        alias = "count"
+        k, v = self.peek()
+        if k == "name" and v.upper() == "AS":
+            self.eat()
+            alias = self.eat("var")[1][1:]
+        self.eat("rpar")
+        return ("count", dist, target, alias)
+
+    # -- WHERE groups ----------------------------------------------------
 
     def group(self):
         """{ ... } -> algebra node."""
@@ -126,19 +298,31 @@ class _Parser:
                 self.eat()
                 flush()
                 self.eat("lpar")
-                lhs = self.eat()
-                op = self.eat("cmp")[1]
-                rhs = self.eat()
+                expr = self._filter_expr()
                 self.eat("rpar")
-                node = ("filter", node or ("bgp", []), _strip_term(lhs), op,
-                        _strip_term(rhs), lhs[0] == "var", rhs[0] == "var")
+                node = ("filter", node or ("bgp", []), expr)
             elif k == "lbrace":
-                sub = self.group()
-                kk, vv = self.peek()
-                if kk == "kw" and vv.upper() == "UNION":
-                    self.eat()
-                    right = self.group()
-                    sub = ("union", sub, right)
+                k2, v2 = self.peek(1)
+                if k2 == "name" and v2.upper() == "SELECT":
+                    self.eat("lbrace")
+                    sub = self.select_stmt()
+                    self.eat("rbrace")
+                else:
+                    sub = self.group()
+                while True:
+                    kk, vv = self.peek()
+                    if kk == "kw" and vv.upper() == "UNION":
+                        self.eat()
+                        k3, v3 = self.peek(1)
+                        if k3 == "name" and v3.upper() == "SELECT":
+                            self.eat("lbrace")
+                            right = self.select_stmt()
+                            self.eat("rbrace")
+                        else:
+                            right = self.group()
+                        sub = ("union", sub, right)
+                    else:
+                        break
                 flush()
                 node = sub if node is None else ("join", node, sub)
             else:
@@ -147,12 +331,46 @@ class _Parser:
                 if k2 == "dot":
                     self.eat("dot")
 
-    def _term(self):
+    def _filter_expr(self):
+        """cmp expression with optional extra parens:
+        arg op arg | ( expr )   (test_sparql.cpp str() idiom uses
+        ``FILTER ( ( str(?a) < str(?b) ) )``)."""
+        if self.peek()[0] == "lpar":
+            self.eat("lpar")
+            e = self._filter_expr()
+            self.eat("rpar")
+            return e
+        lhs = self._filter_arg()
+        op = self.eat("cmp")[1]
+        rhs = self._filter_arg()
+        return (lhs, op, rhs)
+
+    def _filter_arg(self):
+        """var | literal | number | str(?v) | lang(?v) — the operand forms
+        of sparql.zph:815-831."""
         k, v = self.peek()
-        if k in ("var", "iri", "literal", "name", "path"):
+        if k == "lpar":
+            self.eat("lpar")
+            a = self._filter_arg()
+            self.eat("rpar")
+            return a
+        if k == "name" and v.lower() in ("str", "lang"):
+            fname = v.lower()
             self.eat()
-            return _strip_term((k, v))
-        raise SparqlError(f"expected term, got {v!r}")
+            self.eat("lpar")
+            var = self.eat("var")[1]
+            self.eat("rpar")
+            return (fname, var)
+        if k == "var":
+            self.eat()
+            return ("var", v)
+        if k == "number":
+            self.eat()
+            return ("number", v)
+        if k == "literal":
+            self.eat()
+            return ("literal", v[1:-1])
+        raise SparqlError(f"unsupported FILTER operand: {v!r}")
 
     def _triple_block(self):
         """subject pred obj (;/,-lists, sparql.zph predicate-object lists)."""
@@ -173,11 +391,16 @@ class _Parser:
             return out
 
 
+PATH_SEP = "\x00"
+
+
 def _edges_for_path(edges: DataFrame, pred: str) -> DataFrame:
     """Resolve a path element to a (subj, obj) slice: plain predicate,
     ``p+``, ``p*``, or a ``p1/p2`` sequence (sparql.zph:345-361,652-811)."""
-    if "/" in pred:
-        return path_sequence([_edges_for_path(edges, p) for p in pred.split("/")])
+    if PATH_SEP in pred:
+        return path_sequence(
+            [_edges_for_path(edges, p) for p in pred.split(PATH_SEP)]
+        )
     mod = pred[-1] if pred[-1] in "+*" else ""
     name = pred.rstrip("+*")
     base = edges.filter(F.col("pred") == name).select("subj", "obj")
@@ -188,18 +411,53 @@ def _edges_for_path(edges: DataFrame, pred: str) -> DataFrame:
     return base
 
 
+def _bound_vars(node) -> set[str]:
+    """Variables a tree node can bind (for the both-unbound-* check)."""
+    kind = node[0]
+    if kind == "bgp":
+        return {
+            t[1:] for tr in node[1] for t in tr if isinstance(t, str) and t.startswith("?")
+        }
+    if kind in ("join", "optional", "minus", "union"):
+        return _bound_vars(node[1]) | _bound_vars(node[2])
+    if kind == "filter":
+        return _bound_vars(node[1])
+    if kind == "select":
+        proj = node[2]
+        if proj == "*":
+            return _bound_vars(node[3])
+        return {p[1] for p in proj if p[0] == "var"} | {
+            p[3] for p in proj if p[0] == "count"
+        }
+    return set()
+
+
 def _eval(node, edges: DataFrame) -> DataFrame:
     kind = node[0]
     if kind == "bgp":
         plain = [t for t in node[1] if not _is_path(t[1])]
         paths = [t for t in node[1] if _is_path(t[1])]
+        other_bound = {
+            t[1:] for tr in plain for t in tr if t.startswith("?")
+        }
         sols = None
         if plain:
-            sols = Q.bgp(edges, [Pattern(*_varfix(t)) for t in plain])
+            sols = Q.bgp(edges, [Pattern(*t) for t in plain])
         for s, p, o in paths:
+            if (
+                p.endswith("*") and PATH_SEP not in p
+                and s.startswith("?") and o.startswith("?")
+                and s[1:] not in other_bound and o[1:] not in other_bound
+            ):
+                # sparql.zph:735 — a bare * step with both ends unbound
+                # relates every node to itself ("ludicrous results")
+                raise SparqlError(
+                    "Property path with both ends unbound is not supported for *"
+                )
             pairs = _edges_for_path(edges, p)
             pdf = _bind_pair(pairs, s, o)
             sols = pdf if sols is None else Q.join(sols, pdf)
+            other_bound |= {t[1:] for t in (s, o) if t.startswith("?")}
         if sols is None:
             raise SparqlError("empty group pattern")
         return sols
@@ -212,24 +470,70 @@ def _eval(node, edges: DataFrame) -> DataFrame:
     if kind == "union":
         return Q.union(_eval(node[1], edges), _eval(node[2], edges))
     if kind == "filter":
-        _, child, lhs, op, rhs, lvar, rvar = node
+        _, child, (lhs, op, rhs) = node
         df = _eval(child, edges)
-        lc = F.col(lhs[1:]) if lvar else F.lit(lhs)
-        rc = F.col(rhs[1:]) if rvar else F.lit(rhs)
+        numeric = "number" in (lhs[0], rhs[0])
+
+        def col(arg):
+            akind, v = arg
+            if akind in ("var", "str"):
+                # str(?x) = the node's name — node values ARE name strings
+                # in this engine (sparql.zph:824: node-key)
+                c = F.col(v[1:])
+            elif akind == "lang":
+                # no language-tagged literals in zelph: lang() is always ""
+                # (sparql.zph:824-825)
+                c = F.lit("")
+            elif akind == "number":
+                c = F.lit(float(v))
+            else:  # literal
+                c = F.lit(v)
+            return c.cast("double") if numeric else c
+
+        lc, rc = col(lhs), col(rhs)
         cond = {
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
         }[op]
         return df.where(cond)
+    if kind == "select":
+        return _eval_select(node, edges)
     raise SparqlError(f"unknown node {kind}")
 
 
+def _eval_select(node, edges: DataFrame) -> DataFrame:
+    _, distinct, proj, tree, group_by, order, limit = node
+    sols = _eval(tree, edges)
+    counts = [p for p in proj if proj != "*" and p[0] == "count"]
+    if counts:
+        _, dist, target, alias = counts[0]
+        gvars = group_by or [p[1] for p in proj if p[0] == "var"]
+        sols = Q.group_count(
+            sols if gvars else sols.withColumn("_g", F.lit(1)),
+            gvars or ["_g"],
+            count_var=target,
+            distinct_count=dist,
+            alias=alias,
+        )
+        if not gvars:
+            sols = sols.drop("_g")
+    elif proj != "*":
+        sols = sols.select(*[p[1] for p in proj])
+    if distinct:
+        sols = sols.dropDuplicates()
+    if order:
+        dirn, var = order
+        c = F.col(var)
+        sols = sols.orderBy(c.desc() if dirn == "DESC" else c.asc())
+    if limit is not None:
+        sols = sols.limit(limit)
+    return sols
+
+
 def _is_path(p: str) -> bool:
-    return not p.startswith("?") and ("/" in p or p.endswith("+") or p.endswith("*"))
-
-
-def _varfix(t):
-    return tuple(x for x in t)
+    return not p.startswith("?") and (
+        PATH_SEP in p or p.endswith("+") or p.endswith("*")
+    )
 
 
 def _bind_pair(pairs: DataFrame, s: str, o: str) -> DataFrame:
@@ -256,65 +560,21 @@ def sparql(edges: DataFrame, text: str) -> DataFrame:
     if m:
         raise SparqlError(f"unsupported SPARQL feature: {m.group(0)} "
                           "(subset per stdlib/sparql.zph:18-35)")
-    head = re.match(
-        r"\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>\*|(?:\?\w+\s*)+|"
-        r"(?:.*?COUNT\s*\(.*?\).*?))\s+WHERE\s*(?P<rest>\{.*)",
-        text, re.IGNORECASE | re.DOTALL,
-    )
-    if not head:
-        raise SparqlError("only SELECT ... WHERE { ... } is supported")
-    rest = head.group("rest")
-
-    # trailing modifiers after the closing brace
-    depth = 0
-    for idx, ch in enumerate(rest):
-        if ch == "{":
-            depth += 1
-        elif ch == "}":
-            depth -= 1
-            if depth == 0:
-                break
-    body, tail = rest[: idx + 1], rest[idx + 1 :]
-
-    tree = _Parser(_tokenize(body)).group()
-    sols = _eval(tree, edges)
-
-    proj = head.group("proj").strip()
-    count_m = re.search(
-        r"COUNT\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)(?:\s+AS\s+\?(\w+))?",
-        proj, re.IGNORECASE,
-    )
-    group_m = re.search(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail, re.IGNORECASE)
-    order_m = re.search(
-        r"ORDER\s+BY\s+(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?", tail, re.IGNORECASE
-    )
-    limit_m = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
-
-    if count_m:
-        gvars = (
-            [v[1:] for v in group_m.group(1).split()] if group_m else []
-        )
-        target = count_m.group(2)
-        alias = count_m.group(3) or "count"
-        sols = Q.group_count(
-            sols if gvars else sols.withColumn("_g", F.lit(1)),
-            gvars or ["_g"],
-            count_var=None if target == "*" else target[1:],
-            distinct_count=bool(count_m.group(1)),
-            alias=alias,
-        )
-        if not gvars:
-            sols = sols.drop("_g")
-    elif proj != "*":
-        want = [v[1:] for v in proj.split()]
-        sols = sols.select(*want)
-    if head.group("distinct"):
-        sols = sols.dropDuplicates()
-    if order_m:
-        col = F.col(order_m.group(2))
-        sols = sols.orderBy(
-            col.desc() if (order_m.group(1) or "").upper() == "DESC" else col.asc()
-        )
-    if limit_m:
-        sols = sols.limit(int(limit_m.group(1)))
-    return sols
+    toks = _tokenize(text)
+    p = _Parser(toks)
+    # PREFIX declarations (sparql.zph:171,182): PREFIX name: <iri>
+    while True:
+        k, v = p.peek()
+        if k == "name" and v.upper() == "PREFIX":
+            p.eat()
+            pname = p.eat("name")[1]
+            if not pname.endswith(":"):
+                raise SparqlError(f"malformed PREFIX name: {pname!r}")
+            iri = p.eat("iri")[1][1:-1]
+            p.prefixes[pname[:-1]] = iri
+        else:
+            break
+    node = p.select_stmt()
+    if p.peek()[0] is not None:
+        raise SparqlError(f"trailing tokens after query: {p.peek()[1]!r}")
+    return _eval_select(node, edges)
