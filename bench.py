@@ -61,12 +61,16 @@ def run_e2e_pipeline(
     finally:
         if root:
             shutil.rmtree(root, ignore_errors=True)
+    fx = res.counters.get("fixpoint_log", [])
     return {
         "sec": dt,
         "n_docs": n_docs,
         "docs_per_sec": n_docs / dt,
         "edges": n_edges,
         "saturated": n_sat,
+        "stage_secs": res.counters.get("stage_secs", {}),
+        "fixpoint_rounds": len(fx),
+        "fixpoint_secs": round(sum(e.get("sec", 0) for e in fx), 2),
     }
 
 
@@ -147,7 +151,7 @@ def main() -> None:
     if "--scaling" in sys.argv:
         # same job, same input, two parallelism levels, fresh JVM each
         n_docs = int(os.environ.get("ZELPH_SCALE_DOCS", "20000"))
-        lows, highs = "8", "32"
+        lows, highs = os.environ.get("ZELPH_SCALE_CORES", "8,32").split(",")
         results = {}
         for c in (lows, highs):
             p = subprocess.run(
@@ -162,15 +166,24 @@ def main() -> None:
         t_low, t_high = results[lows]["sec"], results[highs]["sec"]
         ratio = int(highs) / int(lows)
         eff = (t_low / t_high) / ratio
+
+        def _side(c):
+            r = results[c]
+            return {
+                "sec": round(r["sec"], 2),
+                "docs_per_sec": round(r["docs_per_sec"], 1),
+                "stage_secs": r.get("stage_secs", {}),
+                "fixpoint_rounds": r.get("fixpoint_rounds"),
+                "fixpoint_secs": r.get("fixpoint_secs"),
+            }
+
         print(json.dumps({
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
             "unit": f"speedup/(cores ratio {int(ratio)}x)",
             "n_docs": n_docs,
-            f"local[{lows}]": {"sec": round(t_low, 2),
-                               "docs_per_sec": round(results[lows]["docs_per_sec"], 1)},
-            f"local[{highs}]": {"sec": round(t_high, 2),
-                                "docs_per_sec": round(results[highs]["docs_per_sec"], 1)},
+            f"local[{lows}]": _side(lows),
+            f"local[{highs}]": _side(highs),
         }))
         return
 

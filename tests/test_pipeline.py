@@ -113,6 +113,25 @@ def test_pipeline_prob_conflict_detected(spark):
     ).count() == 0
 
 
+def test_pipeline_constraint_rules_swept(spark, fixture_docs_df):
+    """S5 in the e2e path: caller-supplied constraint rules (the shape
+    statements.constraint_rules emits) are swept with the wikidata
+    contradiction set inside run_pipeline (wikidata.cpp:401-547)."""
+    from zelph_spark import datagen
+    from zelph_spark.pipeline import run_pipeline
+    from zelph_spark.rules import P as Pat, Rule
+
+    dic = spark.createDataFrame(datagen.fixture_qid_dictionary())
+    # none-of style shape: flag every has-part assertion (fires on fixture)
+    rule = Rule("c-noneof-haspart", (Pat("?I", "P527", "?Y"),))
+    res = run_pipeline(
+        spark, fixture_docs_df, dictionary=dic, constraint_rules=[rule]
+    )
+    fired = {r.rule_id for r in res.contradictions.collect()}
+    assert "c-noneof-haspart" in fired
+    assert res.counters["stage_secs"]  # per-stage metrics recorded
+
+
 def test_pipeline_resume_skips_completed_stages(spark, fixture_docs_df, tmp_path):
     """Kill/resume: after a full run, re-running reuses every stage
     checkpoint and produces identical saturated output."""

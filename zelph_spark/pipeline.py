@@ -57,13 +57,27 @@ def run_pipeline(
     dictionary: DataFrame | None = None,
     reason: bool = True,
     link_threshold: float = 0.1,
+    constraint_rules: list | None = None,
 ) -> PipelineResult:
+    """``constraint_rules``: extra contradiction Rules (e.g. compiled from a
+    P2302 statements table by ``statements.constraint_rules``) swept together
+    with the wikidata.zph contradiction set — S5 first-class in the e2e path
+    (wikidata.cpp:401-547)."""
+    import time as _time
+
     store = StageStore(store_root) if store_root else None
+    stage_secs: dict[str, float] = {}
 
     def stage(name, compute, partition_by=None):
-        if store is None:
-            return compute().localCheckpoint()
-        return run_stage(store, spark, name, compute, partition_by=partition_by)
+        t0 = _time.time()
+        try:
+            if store is None:
+                return compute().localCheckpoint()
+            return run_stage(
+                store, spark, name, compute, partition_by=partition_by
+            )
+        finally:
+            stage_secs[name] = round(_time.time() - t0, 2)
 
     # 1. extraction (one pass; media spans untouched by construction)
     extracted = stage("extracted", lambda: extract.extract_all(docs))
@@ -139,7 +153,7 @@ def run_pipeline(
     # rule-constant id resolution (tiny: ~20 constants, one collect) — the
     # same deterministic hash build_edges uses, so rule ids and data ids meet
     rules_pos = Rz.wikidata_rules()
-    rules_con = Rz.wikidata_contradiction_rules()
+    rules_con = Rz.wikidata_contradiction_rules() + list(constraint_rules or [])
     consts = sorted(Rz.rule_constants(rules_pos + rules_con))
     cmap = {
         r.name: r.node
@@ -200,6 +214,7 @@ def run_pipeline(
             [], "rule_id string, bindings map<string,string>"
         )
 
+    counters["stage_secs"] = stage_secs
     return PipelineResult(
         extracted=extracted,
         triples=canon_triples_df,

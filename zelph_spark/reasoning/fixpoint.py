@@ -158,16 +158,29 @@ def run_fixpoint(
     # the ~40 rule branches schedules full-width stages — pure task-launch
     # overhead on tail rounds. Size-first collapses tiny shuffles to one
     # partition while leaving genuinely large rounds wide.
-    pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    pf_old = spark.conf.get(pf_key, "true")
-    spark.conf.set(pf_key, "false")
+    import os
+
+    loop_conf = {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # AQE stays ON (measured: disabling it raised a 100k fixpoint from
+        # 63s to 85s at local[8] — the runtime partition coalescing is worth
+        # more than the re-planning latency it costs). Knob kept for skew
+        # experiments.
+        "spark.sql.adaptive.enabled":
+            "false" if os.environ.get("ZELPH_FIXPOINT_AQE") == "0" else "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in loop_conf}
+    for k, v in loop_conf.items():
+        spark.conf.set(k, v)
     try:
         return _run_fixpoint_inner(
             edges, rules, contradiction_rules, semi_naive, max_iter, scratch,
             fuse,
         )
     finally:
-        spark.conf.set(pf_key, pf_old)
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
         # every returned DataFrame is rooted at localCheckpointed RDDs
         # (full/base), never at the scratch parquet files
         shutil.rmtree(scratch, ignore_errors=True)

@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # scaling experiments: redirect shuffle/spill storage (e.g. to /dev/shm —
+    # the sandbox stand-in for a cluster's per-executor local disks; the
+    # single shared /tmp device otherwise serializes all executor I/O)
+    local_dir = os.environ.get("ZELPH_SPARK_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
