@@ -129,7 +129,9 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     if "--one-scale" in sys.argv:
-        # child process of --scaling: e2e pipeline only, fixed corpus size
+        # child process of --scaling: e2e pipeline only, fixed corpus size.
+        # cpus == "submit" => launched via spark-submit against a cluster
+        # master (tools/cluster_scaling.py) — the contract deployment path.
         cpus = sys.argv[sys.argv.index("--one-scale") + 1]
         n_docs = int(sys.argv[sys.argv.index("--n-docs") + 1])
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -137,8 +139,8 @@ def main() -> None:
 
         spark = get_spark(
             app_name=f"zelph-scale-{cpus}",
-            master=f"local[{cpus}]",
-            shuffle_partitions=max(8, int(cpus)),
+            master="submit" if cpus == "submit" else f"local[{cpus}]",
+            shuffle_partitions=32 if cpus == "submit" else max(8, int(cpus)),
         )
         reason = os.environ.get("ZELPH_SCALE_REASON", "1") != "0"
         res = run_e2e_pipeline(

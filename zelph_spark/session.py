@@ -33,9 +33,13 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
 
+    builder = SparkSession.builder
+    if master != "submit":
+        # master == "submit": trust the spark-submit launch context (the
+        # cluster deployment path — spark-submit --master ... --py-files)
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
