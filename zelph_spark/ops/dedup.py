@@ -203,9 +203,14 @@ def minhash_verified_pairs(
     equi-join on (band, bucket), the verify join touches candidate pairs
     only, never all pairs."""
     sig = minhash_signatures(shingles, key=key, num_hashes=num_hashes)
-    cands = minhash_lsh_pairs(sig, key=key, bands=bands, threshold=0.0).select(
-        "a", "b"
-    )
+    # banding recall is tuned for >= threshold, but it also admits ~8% of
+    # random low-similarity pairs (2-row bands match with prob J^2 PER band);
+    # pre-filtering candidates on the signature estimate at threshold/2 —
+    # 4 sigma below the verify threshold for 64 hashes — prunes that noise
+    # before the (much costlier) exact shingle-set verification join.
+    cands = minhash_lsh_pairs(
+        sig, key=key, bands=bands, threshold=threshold / 2
+    ).select("a", "b")
     sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
     a_sh = cands.join(shingles.select(F.col(key).alias("a"), "shingle"), "a")
     inter = (
