@@ -62,10 +62,21 @@ def _dsl(facts, rules) -> str:
     wikidata.zph:4 (`.name ~ wikidata P31`): the data ruleset's IsA *is* the
     engine's core.IsA node, exactly as in a real wikidata session."""
     lines = ["lang wikidata", "name ~ P31", "name ! Q363948"]
-    for s, p, o in sorted(facts):
-        lines.append(f"fact {s} {p} {o}")
+    for f in sorted(facts):
+        lines.append(
+            f"fact {f[0]} {f[1]} {f[2]}"
+            + (f" {f[3]}" if len(f) == 4 else "")
+        )
     for r in rules:
-        conds = " | ".join(f"{c.subj} {c.pred} {c.obj}" for c in r.conditions)
+        parts = [
+            ("not " if i in r.negated else "")
+            + f"{c.subj} {c.pred} {c.obj}"
+            for i, c in enumerate(r.conditions)
+        ]
+        # inequality guards are conditions with relation core.Unequal
+        # (reasoning_evaluate.cpp:158)
+        parts += [f"{a} != {b}" for a, b in r.unequals]
+        conds = " | ".join(parts)
         cons = (
             f"{r.consequence.subj} {r.consequence.pred} {r.consequence.obj}"
             if r.consequence is not None
@@ -76,28 +87,33 @@ def _dsl(facts, rules) -> str:
     return "\n".join(lines) + "\n"
 
 
-def run_reference(oracle_bin, tmp_path, facts, rules):
-    """Returns (data_triples, n_contradictions) from a reference run."""
+def _run_oracle(oracle_bin, tmp_path, dsl_text):
     script = tmp_path / "oracle.dsl"
-    script.write_text(_dsl(facts, rules))
-    r = subprocess.run(
+    script.write_text(dsl_text)
+    return subprocess.run(
         [str(oracle_bin), str(script)],
         capture_output=True,
         text=True,
         timeout=600,
     )
-    assert r.returncode == 0, r.stderr[-800:]
-    out = r.stdout
-    body = out.split("===DUMP===")[1].split("===END===")[0]
-    triples = set()
+
+
+def _parse_dump(r):
+    """(data_triples, probs, n_contradictions) from a completed run."""
+    body = r.stdout.split("===DUMP===")[1].split("===END===")[0]
+    triples, probs = set(), {}
     for line in body.strip().splitlines():
-        s, p, o, _prob = line.split("\t")
+        s, p, o, prob = line.split("\t")
         if not _infrastructure((s, p, o)):
             triples.add((s, p, o))
+            # a triple can appear on several lines: hash-consing is by the
+            # ORIGINAL components, so entity merges leave duplicate reified
+            # facts whose decoded triples coincide — keep every prob
+            probs.setdefault((s, p, o), []).append(float(prob))
     n_contra = 0
     # engine diagnostics (iteration banners, totals) go to the Diagnostic
     # channel = stderr when not a TTY; deduction messages go to stdout
-    for line in (out + r.stderr).splitlines():
+    for line in (r.stdout + r.stderr).splitlines():
         # "Reasoning complete. Total unification matches processed: N.
         #  Total contradictions found: M."
         if "Total contradictions found:" in line:
@@ -106,6 +122,14 @@ def run_reference(oracle_bin, tmp_path, facts, rules):
                 .strip()
                 .rstrip(".")
             )
+    return triples, probs, n_contra
+
+
+def run_reference(oracle_bin, tmp_path, facts, rules):
+    """Returns (data_triples, n_contradictions) from a reference run."""
+    r = _run_oracle(oracle_bin, tmp_path, _dsl(facts, rules))
+    assert r.returncode == 0, r.stderr[-800:]
+    triples, _probs, n_contra = _parse_dump(r)
     return triples, n_contra
 
 
@@ -171,6 +195,167 @@ def test_contradictions_detected_like_reference(spark, oracle_bin, tmp_path):
     assert res.contradictions.count() > 0
     got = {(r.subj, r.pred, r.obj) for r in res.edges.collect()}
     assert got == want
+
+
+def test_naf_stratum_parity(spark, oracle_bin, tmp_path):
+    """Stratified negation: the reference defers NAF rules to positive
+    quiescence (reasoning_seminaive.cpp:140-150); our fixpoint does the
+    same (R9).  The classic race case — a NAF rule whose negation target
+    is derived late by a positive chain — must agree."""
+    facts = {
+        ("Q1", "P279", "Q2"),
+        ("Q2", "P279", "Q3"),
+        ("Q7", "P999", "Q7"),
+        ("P279", "P31", "Q18647515"),  # P279 ~ transitive
+    }
+    rules = [
+        # NAF: anything with a P999 self-loop and NOT a subclass of Q3
+        # gets tagged; Q1 IS a subclass of Q3 but only after closure.
+        Rz.R(
+            "naf",
+            [Rz.P("?X", "P999", "?X"), Rz.P("?X", "P279", "Q3")],
+            Rz.P("?X", "P100", "Q3"),
+            negated=(1,),
+        ),
+        Rz.R(
+            "trans",
+            [
+                Rz.P("?R", "P31", "Q18647515"),
+                Rz.P("?X", "?R", "?Y"),
+                Rz.P("?Y", "?R", "?Z"),
+            ],
+            Rz.P("?X", "?R", "?Z"),
+        ),
+    ]
+    want, _ = run_reference(oracle_bin, tmp_path, facts, rules)
+    df = spark.createDataFrame(
+        pd.DataFrame(sorted(facts), columns=["subj", "pred", "obj"])
+    )
+    res = run_fixpoint(df, rules)
+    got = {(r.subj, r.pred, r.obj) for r in res.edges.collect()}
+    assert got == want
+    # the NAF deduction must exist (Q7 has no P279 path to Q3)
+    assert ("Q7", "P100", "Q3") in got
+
+
+def test_unequal_guard_parity(spark, oracle_bin, tmp_path):
+    """Inequality guards (J10): (?X != ?Y) conditions use core.Unequal
+    (reasoning_evaluate.cpp:158) and must prune identical bindings the
+    same way on both engines."""
+    facts = {
+        ("Q1", "P50", "Q5"),
+        ("Q2", "P50", "Q5"),
+        ("Q1", "P50", "Q6"),
+    }
+    rules = [
+        Rz.R(
+            "siblings",
+            [Rz.P("?A", "P50", "?C"), Rz.P("?B", "P50", "?C")],
+            Rz.P("?A", "P60", "?B"),
+            unequals=(("?A", "?B"),),
+        )
+    ]
+    want, _ = run_reference(oracle_bin, tmp_path, facts, rules)
+    df = spark.createDataFrame(
+        pd.DataFrame(sorted(facts), columns=["subj", "pred", "obj"])
+    )
+    res = run_fixpoint(df, rules)
+    got = {(r.subj, r.pred, r.obj) for r in res.edges.collect()}
+    assert got == want
+    assert ("Q1", "P60", "Q1") not in got  # guard pruned the reflexive pair
+    assert ("Q1", "P60", "Q2") in got
+
+
+def test_assert_time_probability_conflict_parity(spark, oracle_bin, tmp_path):
+    """Cross-0.5 probability conflict on the SAME triple: the reference
+    detects it at assert time and throws ('fact(): this fact is known to
+    be wrong', zelph.cpp:476-483); the distributed engine cannot throw
+    per-row, so the same condition surfaces as a conflict row from
+    canon.relabel_edges — both must detect it."""
+    from zelph_spark import canon
+
+    dsl = "\n".join(
+        [
+            "lang wikidata",
+            "fact Qd1 P13 Qt 0.4",
+            "fact Qd1 P13 Qt 0.6",
+            "dump",
+        ]
+    )
+    r = _run_oracle(oracle_bin, tmp_path, dsl + "\n")
+    assert r.returncode != 0
+    assert "known to be wrong" in (r.stderr + r.stdout)
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("Qd1", "P13", "Qt", 0.4), ("Qd1", "P13", "Qt", 0.6)],
+            columns=["subj", "pred", "obj", "prob"],
+        )
+    )
+    mm = spark.createDataFrame([], "node string, canon string")
+    _resolved, conflicts = canon.relabel_edges(edges, mm)
+    assert {(r.subj, r.pred, r.obj) for r in conflicts.collect()} == {
+        ("Qd1", "P13", "Qt")
+    }
+
+
+def test_merge_duplicate_fact_probabilities(spark, oracle_bin, tmp_path):
+    """What an entity merge actually does to coinciding facts, measured
+    against the reference: hash-consing keys facts by their ORIGINAL
+    components (network.hpp:474-483), so after merging Qc2 into Qc1 the
+    two reified facts survive as distinct nodes whose decoded triples
+    coincide — the reference keeps BOTH probability observations.  A
+    distributed engine stores triples as rows, so coinciding rows must
+    collapse; canon.relabel_edges resolves them with the reference's own
+    edge-reconciliation policy (Network::merge, network.hpp:241-254:
+    both<=0.5 -> min — including the {0.4, 0.5} boundary, which the
+    branch order assigns to the min side; both>=0.5 -> max; cross -> the
+    error path, surfaced as a conflict row). This test pins the reference
+    behavior (both observations survive, no error) and that our collapse
+    picks a value from the reference's surviving set by that policy."""
+    from zelph_spark import canon
+
+    dsl = "\n".join(
+        [
+            "lang wikidata",
+            "fact Qc1 P12 Qt 0.4",
+            "fact Qc2 P12 Qt 0.5",
+            "fact Qb1 P11 Qt 0.6",
+            "fact Qb2 P11 Qt 0.9",
+            "merge Qc2 Qc1",
+            "merge Qb2 Qb1",
+            "dump",
+        ]
+    )
+    r = _run_oracle(oracle_bin, tmp_path, dsl + "\n")
+    assert r.returncode == 0, r.stderr[-800:]
+    _triples, ref_probs, _ = _parse_dump(r)
+    assert sorted(ref_probs[("Qc1", "P12", "Qt")]) == [0.4, 0.5]
+    assert sorted(ref_probs[("Qb1", "P11", "Qt")]) == [0.6, 0.9]
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("Qc1", "P12", "Qt", 0.4),
+                ("Qc2", "P12", "Qt", 0.5),
+                ("Qb1", "P11", "Qt", 0.6),
+                ("Qb2", "P11", "Qt", 0.9),
+            ],
+            columns=["subj", "pred", "obj", "prob"],
+        )
+    )
+    mm = spark.createDataFrame(
+        pd.DataFrame(
+            [("Qc2", "Qc1"), ("Qb2", "Qb1")], columns=["node", "canon"]
+        )
+    )
+    resolved, conflicts = canon.relabel_edges(edges, mm)
+    assert conflicts.count() == 0
+    got = {(r.subj, r.pred, r.obj): r.prob for r in resolved.collect()}
+    # min of the both<=0.5 pair (0.4, boundary 0.5 owned by the min branch),
+    # max of the both>=0.5 pair — each a member of the reference's kept set
+    assert got[("Qc1", "P12", "Qt")] == pytest.approx(0.4)
+    assert got[("Qb1", "P11", "Qt")] == pytest.approx(0.9)
 
 
 def test_clean_corpus_no_contradictions(spark, oracle_bin, tmp_path):

@@ -22,7 +22,11 @@ DSL (argv[1], whitespace-tokenized, '#' comments):
   fact <s> <p> <o> [prob]             assert a triple
   rule <c:s c:p c:o> [| <c2..>] => <d:s d:p d:o> [| <d2..>]
                                       '?X' tokens are per-rule variables;
+                                      a condition may be prefixed 'not'
+                                      (NAF, tags (cond ~ Negation));
                                       consequence '!' = core.Contradiction
+  merge <from> <intoName>             set_name(from, intoName, lang, merge)
+                                      -> Network::merge canonicalization
   run                                 Reasoning::run (semi-naive fixpoint)
   dump                                print final facts as TSV to stdout
 
@@ -111,6 +115,15 @@ namespace
             auto c = Z->extract_fact_components(f);
             if (!c.subject || !c.predicate) continue;
             const long double prob = Z->edge_weight(f, c.predicate, 1.0);
+            // self-facts (S P S) have no object edge distinct from the
+            // subject edge (zelph.cpp:515-521) -> empty objects; render in
+            // the verbose "S P S" form (zelph.hpp:176-183)
+            if (c.objects.empty())
+            {
+                std::cout << render(c.subject) << '\t' << render(c.predicate)
+                          << '\t' << render(c.subject) << '\t'
+                          << static_cast<double>(prob) << '\n';
+            }
             for (Node o : c.objects)
             {
                 std::cout << render(c.subject) << '\t' << render(c.predicate)
@@ -148,9 +161,15 @@ namespace
         std::unordered_set<Node>    conds;
         for (auto& c : split_on(toks, 1, arrow, "|"))
         {
+            // NAF sugar: "not s p o" tags the condition (cond ~ Negation),
+            // exactly script_engine.cpp:1247
+            bool neg = !c.empty() && c[0] == "not";
+            if (neg) c.erase(c.begin());
             if (c.size() != 3) throw std::runtime_error("condition arity != 3");
-            conds.insert(Z->fact(resolve(c[0], &vars), resolve(c[1], &vars),
-                                 {resolve(c[2], &vars)}));
+            Node cond = Z->fact(resolve(c[0], &vars), resolve(c[1], &vars),
+                                {resolve(c[2], &vars)});
+            if (neg) Z->fact(cond, Z->core.IsA, {Z->core.Negation});
+            conds.insert(cond);
         }
         // exactly script_engine.cpp:1299-1308 (janet_cfun_zelph_rule):
         // conjunction set for >1 condition, bare condition node for 1
@@ -223,6 +242,11 @@ int main(int argc, char** argv)
             }
             else if (cmd == "rule")
                 add_rule(t);
+            else if (cmd == "merge" && t.size() == 3)
+                // canonicalization primitive: naming `from` with `into`'s
+                // name merges the nodes (zelph_names.cpp merge_on_conflict;
+                // Network::merge reconciles edge probabilities)
+                Z->set_name(resolve(t[1], nullptr), t[2], Z->lang(), true);
             else if (cmd == "run")
                 // print deductions, no markdown, no repetition suppression
                 Z->run(true, false, false, false);
