@@ -358,6 +358,90 @@ def test_merge_duplicate_fact_probabilities(spark, oracle_bin, tmp_path):
     assert got[("Qb1", "P11", "Qt")] == pytest.approx(0.9)
 
 
+def _reference_import(oracle_bin, tmp_path, dump_path):
+    """Run the reference Wikidata importer (wikidata.cpp, compiled from
+    source) on a dump file; returns (data_triples, {qid: en_label})."""
+    dsl = f"lang wikidata\nimport {dump_path}\ndump\ndumpnames en\n"
+    r = _run_oracle(oracle_bin, tmp_path, dsl)
+    assert r.returncode == 0, r.stderr[-800:]
+    triples, _probs, _ = _parse_dump(r)
+    names_body = r.stdout.split("===NAMES===")[1].split("===ENDNAMES===")[0]
+    labels = {}
+    for line in names_body.strip().splitlines():
+        qid, label = line.split("\t", 1)
+        if qid:
+            labels[qid] = label
+    return triples, labels
+
+
+def _our_import(spark, dump_path):
+    from zelph_spark.sources import dump as dmod
+
+    lines = dmod.read_dump_lines(spark, str(dump_path))
+    rows = dmod.extract_from_dump(lines).cache()
+    triples = {
+        (r.subj, r.pred, r.obj)
+        for r in rows.filter("row_kind = 'triple'").collect()
+    }
+    labels = {
+        r.subj: r.name for r in rows.filter("row_kind = 'label'").collect()
+    }
+    return triples, labels
+
+
+def test_dump_import_parity_fixture(spark, oracle_bin, tmp_path):
+    """S1/S2 import parity vs the reference importer itself: the verbatim
+    wikidata.cpp tag-scanning parser (compiled from source) and our
+    extract_from_dump must produce identical (subj, pred, obj) sets and
+    identical en labels on the same synthetic dump."""
+    from zelph_spark import datagen
+
+    dump_path = tmp_path / "dump.json"
+    dump_path.write_text(
+        "\n".join(datagen.render_line(e) for e in datagen.fixture_entities())
+        + "\n"
+    )
+    ref_triples, ref_labels = _reference_import(oracle_bin, tmp_path, dump_path)
+    our_triples, our_labels = _our_import(spark, dump_path)
+    assert our_triples == ref_triples
+    assert our_labels == ref_labels
+
+
+def test_dump_import_parity_large(spark, oracle_bin, tmp_path):
+    """Same gate on a 2,000-entity synthetic dump exercising the
+    scale-free claim mix bench.py uses (item + string + opposite/part
+    claims, aliased entities)."""
+    from zelph_spark import datagen
+
+    ents = []
+    for i in range(2000):
+        claims = [("P31", ("item", f"Q{(i % 97) + 10}"))]
+        if i % 3 == 0:
+            claims.append(("P279", ("item", f"Q{((i + 1) % 997) + 1000}")))
+        if i % 5 == 0:
+            claims.append(("P527", ("item", f"Q{((i * 7) % 9973) + 1000}")))
+        if i % 11 == 0:
+            claims.append(("P461", ("item", f"Q{((i * 3) % 9973) + 1000}")))
+        if i % 7 == 0:
+            claims.append(("P1476", ("string", f"title {i}")))
+        ents.append(
+            {
+                "id": f"Q{i + 1000}",
+                "labels": {"en": f"entity {i}"},
+                "aliases": {"en": [f"e{i}"]} if i % 2 == 0 else {},
+                "claims": claims,
+            }
+        )
+    dump_path = tmp_path / "dump.json"
+    dump_path.write_text(
+        "\n".join(datagen.render_line(e) for e in ents) + "\n"
+    )
+    ref_triples, ref_labels = _reference_import(oracle_bin, tmp_path, dump_path)
+    our_triples, our_labels = _our_import(spark, dump_path)
+    assert our_triples == ref_triples
+    assert our_labels == ref_labels
+
+
 def test_clean_corpus_no_contradictions(spark, oracle_bin, tmp_path):
     # P279 transitivity fires only with the (P279 ~ transitive-relation)
     # declaration that real wikidata carries (WIKIDATA_CORE_FACTS)

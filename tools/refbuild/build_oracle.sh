@@ -35,7 +35,7 @@ fi
 rm -rf "$B"
 mkdir -p "$B/src"
 cp -r "$REF/network" "$REF/string" "$REF/chrono" "$REF/platform" \
-      "$REF/concurrency" "$REF/io" "$B/src/"
+      "$REF/concurrency" "$REF/io" "$REF/wikidata" "$B/src/"
 cp "$REF/zelph_export.h" "$B/src/"
 
 python3 - "$B" <<'EOF'
@@ -55,6 +55,15 @@ for rel in ("src/network/zelph_impl.hpp", "src/network/zelph_maintenance.cpp"):
 p = b / "src/string/string_utils.hpp"
 t = p.read_text()
 p.write_text(t.replace("#include <cstdint>", "#include <algorithm>\n#include <cstdint>", 1))
+
+# wikidata.cpp includes the capnp headers but uses no capnp API (the cache
+# save it calls goes through Zelph::save_to_file, stubbed in
+# oracle_stubs.cpp); drop the two includes so the importer compiles.
+p = b / "src/wikidata/wikidata.cpp"
+t = p.read_text()
+for inc in ("#include <capnp/message.h>", "#include <capnp/serialize-packed.h>", "#include <kj/io.h>"):
+    t = t.replace(inc, "")
+p.write_text(t)
 EOF
 
 cat > "$B/src/network/zelph_version.hpp" <<'EOF'
@@ -72,6 +81,7 @@ SRCS=(
     string/node_to_string.cpp string/string_utils.cpp
     chrono/stopwatch.cpp platform/platform_utils.cpp
     io/output.cpp io/markdown.cpp io/mermaid.cpp
+    io/data_manager.cpp io/read_async.cpp wikidata/wikidata.cpp
 )
 OBJS=()
 mkdir -p "$B/obj"
@@ -84,9 +94,13 @@ for s in "${SRCS[@]}"; do
 done
 wait
 
-g++ -std=c++20 -O2 -DNDEBUG -DZELPH_ORACLE_NO_NATIVE_IO \
-    -I"$B/src" -I"$B/src/network" -I"$HERE" \
-    -c "$HERE/oracle_main.cpp" -o "$B/obj/oracle_main.o"
+for extra in oracle_main oracle_stubs; do
+    g++ -std=c++20 -O2 -DNDEBUG -DZELPH_ORACLE_NO_NATIVE_IO \
+        -I"$B/src" -I"$B/src/network" -I"$HERE" \
+        -c "$HERE/$extra.cpp" -o "$B/obj/$extra.o" &
+done
+wait
 
-g++ "${OBJS[@]}" "$B/obj/oracle_main.o" -o "$B/zelph_oracle" -lpthread
+g++ "${OBJS[@]}" "$B/obj/oracle_main.o" "$B/obj/oracle_stubs.o" \
+    -o "$B/zelph_oracle" -lpthread -lbz2
 echo "built $B/zelph_oracle"

@@ -27,6 +27,9 @@ DSL (argv[1], whitespace-tokenized, '#' comments):
                                       consequence '!' = core.Contradiction
   merge <from> <intoName>             set_name(from, intoName, lang, merge)
                                       -> Network::merge canonicalization
+  trusted <s> <p> <o>                 bulk-import path (trusted insert)
+  time <label>                        print "TIME <label> <sec since last>"
+                                      to stderr (throughput benchmarking)
   run                                 Reasoning::run (semi-naive fixpoint)
   dump                                print final facts as TSV to stdout
 
@@ -43,7 +46,9 @@ the Python side can filter rule infrastructure from data triples.
 
 #include "network/reasoning.hpp"
 #include "network/network_types.hpp"
+#include "wikidata/wikidata.hpp"
 
+#include <chrono>
 #include <fstream>
 #include <iostream>
 #include <map>
@@ -240,8 +245,32 @@ int main(int argc, char** argv)
                 Z->fact(resolve(t[1], nullptr), resolve(t[2], nullptr),
                         {resolve(t[3], nullptr)}, p);
             }
+            else if (cmd == "trusted" && t.size() == 4)
+                // the reference's bulk-import path (wikidata.cpp import
+                // uses this; the published facts/s numbers measure it)
+                Z->fact_import_trusted_single_object(
+                    resolve(t[1], nullptr), resolve(t[2], nullptr),
+                    resolve(t[3], nullptr));
+            else if (cmd == "time" && t.size() == 2)
+            {
+                static auto t_prev = std::chrono::steady_clock::now();
+                auto        now    = std::chrono::steady_clock::now();
+                std::cerr << "TIME " << t[1] << " "
+                          << std::chrono::duration<double>(now - t_prev).count()
+                          << "\n";
+                t_prev = now;
+            }
             else if (cmd == "rule")
                 add_rule(t);
+            else if (cmd == "import" && t.size() == 2)
+            {
+                // the reference Wikidata JSON-dump importer, end to end
+                // (tag-scanning parser, trusted bulk insert, label names;
+                // wikidata.cpp:103-360). Cache save at the end throws in
+                // this build and is caught by the importer's own handler.
+                zelph::wikidata::Wikidata wd(Z, t[1]);
+                wd.import_all();
+            }
             else if (cmd == "merge" && t.size() == 3)
                 // canonicalization primitive: naming `from` with `into`'s
                 // name merges the nodes (zelph_names.cpp merge_on_conflict;
@@ -252,6 +281,19 @@ int main(int argc, char** argv)
                 Z->run(true, false, false, false);
             else if (cmd == "dump")
                 dump();
+            else if (cmd == "dumpnames" && t.size() == 2)
+            {
+                // (wikidata id, name in requested lang) pairs — label
+                // import parity (zelph_names.cpp set_name semantics)
+                std::cout << "===NAMES===\n";
+                auto view = Z->get_lang_nodes_view(t[1]);
+                for (auto it = view.begin(); it != view.end(); ++it)
+                {
+                    std::cout << Z->get_name(it->second, "wikidata", false)
+                              << '\t' << std::string(it->first) << '\n';
+                }
+                std::cout << "===ENDNAMES===" << std::endl;
+            }
             else
             {
                 std::cerr << "bad line: " << line << "\n";
