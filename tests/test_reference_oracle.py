@@ -78,8 +78,8 @@ def _dsl(facts, rules) -> str:
         parts += [f"{a} != {b}" for a, b in r.unequals]
         conds = " | ".join(parts)
         cons = (
-            f"{r.consequence.subj} {r.consequence.pred} {r.consequence.obj}"
-            if r.consequence is not None
+            " | ".join(f"{c.subj} {c.pred} {c.obj}" for c in r.consequences)
+            if r.consequences
             else "!"
         )
         lines.append(f"rule {conds} => {cons}")
@@ -356,6 +356,72 @@ def test_merge_duplicate_fact_probabilities(spark, oracle_bin, tmp_path):
     # max of the both>=0.5 pair — each a member of the reference's kept set
     assert got[("Qc1", "P12", "Qt")] == pytest.approx(0.4)
     assert got[("Qb1", "P11", "Qt")] == pytest.approx(0.9)
+
+
+def test_fresh_variable_rule_parity(spark, oracle_bin, tmp_path):
+    """R6 fresh-variable rules: consequence variables unbound by conditions
+    mint a new node per firing (reasoning_deduce.cpp:48-130), suppressed by
+    the consequences_already_exist guard.  The reference's fresh nodes are
+    anonymous counters and ours are deterministic hashes, so parity is
+    structural: same fired bindings, one fresh target each, shared across
+    both consequences, guard-suppressed where consequences pre-exist, and
+    a second saturation deduces nothing."""
+    facts = {
+        ("Q1", "P31", "Qc"),
+        ("Q2", "P31", "Qc"),
+        ("Q5", "P31", "Qc"),
+        # Q5's consequences pre-exist -> the guard must not mint for Q5
+        ("Q5", "P100", "Q77"),
+        ("Q77", "P31", "Qm"),
+    }
+    rule = Rz.R(
+        "mk",
+        [Rz.P("?X", "P31", "Qc")],
+        [Rz.P("?X", "P100", "?N"), Rz.P("?N", "P31", "Qm")],
+    )
+
+    r = _run_oracle(oracle_bin, tmp_path, _dsl(facts, [rule]))
+    assert r.returncode == 0, r.stderr[-800:]
+    body = r.stdout.split("===DUMP===")[1].split("===END===")[0]
+    ref = set()
+    for line in body.strip().splitlines():
+        s, p, o, _prob = line.split("\t")
+        # keep fresh nodes (_n...) as data; drop rule machinery (glyph
+        # predicates/objects, variable templates)
+        if any(t in GLYPHS or t.startswith("_v") for t in (s, p, o)):
+            continue
+        ref.add((s, p, o))
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(sorted(facts), columns=["subj", "pred", "obj"])
+    )
+    res = run_fixpoint(df, [rule])
+    got = {(r_.subj, r_.pred, r_.obj) for r_ in res.edges.collect()}
+
+    def structure(triples):
+        """{X: fresh target} for fired bindings + invariants."""
+        p100 = {}
+        for s, p, o in triples:
+            if p == "P100":
+                p100.setdefault(s, set()).add(o)
+        meta = {s for s, p, o in triples if p == "P31" and o == "Qm"}
+        return p100, meta
+
+    ref_p100, ref_meta = structure(ref)
+    got_p100, got_meta = structure(got)
+    for side_p100, side_meta in ((ref_p100, ref_meta), (got_p100, got_meta)):
+        # Q1/Q2 minted exactly one fresh target each, distinct, typed Qm
+        assert set(side_p100) == {"Q1", "Q2", "Q5"}
+        assert side_p100["Q5"] == {"Q77"}  # guard: no new node for Q5
+        t1, t2 = side_p100["Q1"], side_p100["Q2"]
+        assert len(t1) == 1 and len(t2) == 1 and t1 != t2
+        assert t1 | t2 <= side_meta
+
+    # termination: a second saturation over the result deduces nothing
+    res2 = run_fixpoint(res.edges, [rule])
+    assert res2.n_deduced == 0
 
 
 def _reference_import(oracle_bin, tmp_path, dump_path):

@@ -113,3 +113,28 @@ def test_prune_by_pattern(spark):
         ("a", "p", "b"), ("b", "p", "c")
     }
     assert {(r.subj, r.pred, r.obj) for r in kept.collect()} == {("a", "q", "b")}
+
+
+def test_mermaid_sink_neighborhood_capped(spark, tmp_path):
+    """S11: the neighborhood walk respects depth and fan-out caps and the
+    rendered mermaid source contains the focus and its direct edges."""
+    rows = [("Q0", "P1", f"Q{i}") for i in range(1, 40)]  # fan-out 39
+    rows += [("Q1", "P2", "Q100"), ("Q100", "P2", "Q200")]  # depth chain
+    edges = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    hood = sinks.neighborhood(edges, "Q0", depth=1, max_neighbors=10)
+    assert hood.count() == 10  # fan-out cap, not 39
+
+    hood2 = sinks.neighborhood(edges, "Q0", depth=2, max_neighbors=50)
+    got = {(r.subj, r.pred, r.obj) for r in hood2.collect()}
+    assert ("Q1", "P2", "Q100") in got  # depth-2 reach
+    assert ("Q100", "P2", "Q200") not in got  # depth-3 excluded
+
+    out = tmp_path / "g.html"
+    html = sinks.export_mermaid_html(
+        edges, "Q0", path=str(out), depth=1, max_neighbors=5,
+        names={"Q0": "focus node"},
+    )
+    assert out.exists()
+    assert "graph LR" in html and "focus node" in html
+    assert html.count("-->") == 5

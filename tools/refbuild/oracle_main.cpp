@@ -186,18 +186,27 @@ namespace
             condition = Z->set(conds);
             Z->fact(condition, Z->core.IsA, {Z->core.Conjunction});
         }
+        // ONE multi-object Causes fact carries all consequences: deduce()
+        // then processes them as a single deduction set with fresh-variable
+        // bindings shared across consequences (consequences_already_exist
+        // doc comment; reasoning_deduce.cpp:54-130). Janet's zelph/rule
+        // instead links consequences via separate Causes facts — i.e.
+        // separate rules with independent fresh variables; for multi-
+        // consequence fresh rules the set form is the reference semantics
+        // this harness exposes.
+        adjacency_set consequences;
         for (auto& d : split_on(toks, arrow + 1, toks.size(), "|"))
         {
-            Node consequence;
             if (d.size() == 1 && d[0] == "!")
-                consequence = Z->core.Contradiction;
+                consequences.insert(Z->core.Contradiction);
             else if (d.size() == 3)
-                consequence = Z->fact(resolve(d[0], &vars), resolve(d[1], &vars),
-                                      {resolve(d[2], &vars)});
+                consequences.insert(
+                    Z->fact(resolve(d[0], &vars), resolve(d[1], &vars),
+                            {resolve(d[2], &vars)}));
             else
                 throw std::runtime_error("consequence arity != 3");
-            Z->fact(condition, Z->core.Causes, {consequence});
         }
+        Z->fact(condition, Z->core.Causes, consequences);
     }
 }
 

@@ -140,29 +140,76 @@ def compile_rule_body(
     return acc
 
 
-def project_consequence(bindings: DataFrame, rule: Rule) -> DataFrame:
-    """Bindings -> deduced (subj, pred, obj) rows (reasoning_deduce.cpp:35-343
-    minus fresh-variable creation, which the Wikidata ruleset never uses and
-    this compiler rejects — SURVEY.md §7 hard-part 6)."""
-    cons = rule.consequence
-    if cons is None:
+def project_consequence(
+    bindings: DataFrame, rule: Rule, edges: DataFrame | None = None
+) -> DataFrame:
+    """Bindings -> deduced (subj, pred, obj) rows (reasoning_deduce.cpp:35-343).
+
+    Fresh consequence variables (R6, reasoning_deduce.cpp:48-130): each
+    firing mints a new node, shared across all consequences of the rule.
+    Distributed translation of ``_pImpl->create()``: a DETERMINISTIC id
+    hashed from (rule_id, var, full binding) — idempotent under task retry
+    and across fixpoint rounds, so re-derivations dedup in the delta
+    anti-join instead of minting runaway nodes. The reference's termination
+    guard (``consequences_already_exist``, wildcard match with binding
+    consistency across shared fresh variables) becomes an anti-join of the
+    bindings against the conjunctive match of the consequence patterns over
+    the current extent — which is exactly a rule-body evaluation, so the
+    condition compiler is reused verbatim. Requires ``edges``.
+    """
+    cons_list = rule.consequences
+    if not cons_list:
         raise ValueError(f"rule {rule.rule_id} is a contradiction rule")
-    bound = set(bindings.columns)
-    fresh = {v for v in cons.variables if _vcol(v) not in bound}
+    fresh = rule.fresh_vars
     if fresh:
-        raise NotImplementedError(
-            f"rule {rule.rule_id}: fresh consequence variables {fresh} "
-            "are out of scope (no fresh-variable rules in wikidata.zph)"
-        )
+        if edges is None:
+            raise ValueError(
+                f"rule {rule.rule_id} has fresh variables {set(fresh)}; "
+                "project_consequence needs the edge extent for the "
+                "termination guard"
+            )
+        guard = Rule(f"{rule.rule_id}#exists", tuple(cons_list), None)
+        satisfied = compile_rule_body(guard, edges)
+        shared = sorted(set(bindings.columns) & set(satisfied.columns))
+        if shared:
+            bindings = bindings.join(
+                satisfied.select(*shared).distinct(), on=shared, how="left_anti"
+            )
+        else:
+            probe = (
+                satisfied.limit(1).withColumn("_any", F.lit(1)).select("_any")
+            )
+            bindings = (
+                bindings.withColumn("_any", F.lit(1))
+                .join(probe, on="_any", how="left_anti")
+                .drop("_any")
+            )
+        id_is_long = dict(edges.dtypes).get("subj") == "bigint"
+        key_cols = sorted(bindings.columns)
+        for v in sorted(fresh):
+            h = F.xxhash64(
+                F.lit(rule.rule_id), F.lit(v),
+                *[F.col(c) for c in key_cols],
+            )
+            bindings = bindings.withColumn(
+                _vcol(v), h if id_is_long else F.format_string("_f%016x", h)
+            )
 
     def term(t: str):
         return F.col(_vcol(t)) if is_var(t) else F.lit(t)
 
-    return bindings.select(
-        term(cons.subj).alias("subj"),
-        term(cons.pred).alias("pred"),
-        term(cons.obj).alias("obj"),
-    )
+    outs = [
+        bindings.select(
+            term(c.subj).alias("subj"),
+            term(c.pred).alias("pred"),
+            term(c.obj).alias("obj"),
+        )
+        for c in cons_list
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def evaluate_query(

@@ -82,7 +82,9 @@ def _fire_positive(rules, edges, delta=None, delta_preds=None, present_preds=Non
         if not _rule_can_fire(rule, present_preds):
             continue
         if delta is None:
-            outs.append(project_consequence(compile_rule_body(rule, edges), rule))
+            outs.append(
+                project_consequence(compile_rule_body(rule, edges), rule, edges)
+            )
             continue
         for j in rule.positive:
             pat = rule.conditions[j]
@@ -94,7 +96,9 @@ def _fire_positive(rules, edges, delta=None, delta_preds=None, present_preds=Non
                 continue  # rule-predicate index: this position can't match delta
             outs.append(
                 project_consequence(
-                    compile_rule_body(rule, edges, delta_at=j, delta=delta), rule
+                    compile_rule_body(rule, edges, delta_at=j, delta=delta),
+                    rule,
+                    edges,
                 )
             )
     return _union_all(outs)

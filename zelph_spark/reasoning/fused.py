@@ -68,6 +68,11 @@ def fuse_rules(rules: list[Rule]) -> FusedGroups:
         if r.negated or r.unequals or r.is_contradiction:
             leftover.append(r)
             continue
+        if r.extra_consequences or r.fresh_vars:
+            # multi-consequence / fresh-variable rules (R6) need the
+            # per-rule path: fresh-id minting + existence guard
+            leftover.append(r)
+            continue
         conds = r.conditions
         if any(is_var(c.pred) for c in conds):
             leftover.append(r)

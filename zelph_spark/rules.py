@@ -61,6 +61,10 @@ class Rule:
     consequence: Pattern | None = None  # None -> contradiction rule (=> !)
     unequals: tuple[tuple[str, str], ...] = ()
     negated: tuple[int, ...] = ()  # indices of NAF conditions (stratum 2)
+    # Additional consequences fired from the same bindings (the reference
+    # attaches any number of deductions to one condition set via repeated
+    # (condition => consequence_i) facts — script_engine.cpp:1303-1308).
+    extra_consequences: tuple[Pattern, ...] = ()
 
     @property
     def is_contradiction(self) -> bool:
@@ -70,12 +74,37 @@ class Rule:
     def positive(self) -> list[int]:
         return [i for i in range(len(self.conditions)) if i not in self.negated]
 
+    @property
+    def consequences(self) -> tuple[Pattern, ...]:
+        head = (self.consequence,) if self.consequence is not None else ()
+        return head + self.extra_consequences
+
+    @property
+    def fresh_vars(self) -> frozenset:
+        """Consequence variables not bound by any positive condition: each
+        firing creates a new node for them (R6, reasoning_deduce.cpp:48-66)."""
+        bound: set[str] = set()
+        for i in self.positive:
+            bound |= self.conditions[i].variables
+        out: set[str] = set()
+        for c in self.consequences:
+            out |= c.variables - bound
+        return frozenset(out)
+
 
 def P(s: str, p: str, o: str) -> Pattern:
     return Pattern(s, p, o)
 
 
 def R(rule_id, conds, cons=None, unequals=(), negated=()):
+    """``cons`` may be a single Pattern or a sequence of Patterns (the
+    first is the primary consequence, the rest extra_consequences)."""
+    if cons is not None and not isinstance(cons, Pattern):
+        head, *rest = cons
+        return Rule(
+            rule_id, tuple(conds), head, tuple(unequals), tuple(negated),
+            tuple(rest),
+        )
     return Rule(rule_id, tuple(conds), cons, tuple(unequals), tuple(negated))
 
 
@@ -102,7 +131,7 @@ def rule_constants(rules: list[Rule]) -> set[str]:
     """All constant terms appearing in a ruleset (for id resolution)."""
     out: set[str] = set()
     for r in rules:
-        pats = list(r.conditions) + ([r.consequence] if r.consequence else [])
+        pats = list(r.conditions) + list(r.consequences)
         for p in pats:
             for t in (p.subj, p.pred, p.obj):
                 if not is_var(t):
@@ -129,6 +158,7 @@ def resolve_rules(rules: list[Rule], mapping: dict[str, int]) -> list[Rule]:
             pat(r.consequence) if r.consequence else None,
             r.unequals,
             r.negated,
+            tuple(pat(c) for c in r.extra_consequences),
         )
         for r in rules
     ]
