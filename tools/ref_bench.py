@@ -64,8 +64,14 @@ def run_reference(facts, rules_lines):
     dsl.append("time rules")
     dsl.append("run")
     dsl.append("time reason")
-    path = Path("/tmp/ref_bench.dsl")
-    path.write_text("\n".join(dsl) + "\n")
+    import tempfile
+
+    # unique path per run: the harness streams the DSL line-by-line, so a
+    # shared fixed path corrupts any concurrently running benchmark
+    fd, name = tempfile.mkstemp(prefix="ref_bench_", suffix=".dsl", dir="/tmp")
+    path = Path(name)
+    with open(fd, "w") as f:
+        f.write("\n".join(dsl) + "\n")
     t0 = time.time()
     r = subprocess.run(
         [str(ORACLE), str(path)], capture_output=True, text=True, timeout=7200
