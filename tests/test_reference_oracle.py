@@ -424,6 +424,43 @@ def test_fresh_variable_rule_parity(spark, oracle_bin, tmp_path):
     assert res2.n_deduced == 0
 
 
+def test_transitive_closure_parity(spark, oracle_bin, tmp_path):
+    """C1 transitive_targets vs the reference's bfs_over_index on a branchy
+    cyclic graph (closure semantics: reachable-via-predicate, excluding the
+    start unless it is reachable through a cycle)."""
+    import pandas as pd
+
+    edges = [
+        ("Q1", "P279", "Q2"), ("Q2", "P279", "Q3"), ("Q3", "P279", "Q1"),
+        ("Q2", "P279", "Q4"), ("Q4", "P279", "Q5"), ("Q6", "P279", "Q4"),
+        ("Q5", "P527", "Q9"),  # different predicate: must not leak in
+    ]
+    dsl = ["lang wikidata"]
+    dsl += [f"fact {s} {p} {o}" for s, p, o in edges]
+    dsl += ["closure Q1 P279"]
+    r = _run_oracle(oracle_bin, tmp_path, "\n".join(dsl) + "\n")
+    assert r.returncode == 0, r.stderr[-800:]
+    body = r.stdout.split("===CLOSURE===")[1].split("===ENDCLOSURE===")[0]
+    ref = set(body.split())
+
+    from zelph_spark import closure
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(s, o) for s, p, o in edges if p == "P279"],
+            columns=["subj", "obj"],
+        )
+    )
+    start = spark.createDataFrame(pd.DataFrame({"node": ["Q1"]}))
+    got = {
+        r_.node
+        for r_ in closure.transitive_targets(pairs, start).collect()
+    }
+    assert got == ref
+    assert "Q1" in got  # reachable through the 3-cycle
+    assert "Q9" not in got  # other predicate excluded
+
+
 def _reference_import(oracle_bin, tmp_path, dump_path):
     """Run the reference Wikidata importer (wikidata.cpp, compiled from
     source) on a dump file; returns (data_triples, {qid: en_label})."""

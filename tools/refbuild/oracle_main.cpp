@@ -290,6 +290,16 @@ int main(int argc, char** argv)
                 Z->run(true, false, false, false);
             else if (cmd == "dump")
                 dump();
+            else if (cmd == "closure" && t.size() == 3)
+            {
+                // C1 transitive closure: Zelph::transitive_targets
+                // (zelph.cpp:267-281, bfs_over_index path)
+                auto reach = Z->transitive_targets(
+                    resolve(t[1], nullptr), resolve(t[2], nullptr), false);
+                std::cout << "===CLOSURE===\n";
+                for (Node n : reach) std::cout << render(n) << '\n';
+                std::cout << "===ENDCLOSURE===" << std::endl;
+            }
             else if (cmd == "dumpnames" && t.size() == 2)
             {
                 // (wikidata id, name in requested lang) pairs — label
