@@ -127,14 +127,18 @@ def minhash_lsh_pairs(
     key: str = "doc_id",
     bands: int = 16,
     threshold: float = 0.5,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows, bucket by the
     band hash, generate candidate pairs inside buckets only, then estimate
     jaccard as the fraction of matching signature positions.
 
     Returns (a, b, est_jaccard >= threshold). Scale path: candidates are
-    produced by an equi-join on (band, band_hash) — never a cross join."""
-    num_hashes = len(signatures.select("sig").first().sig)
+    produced by an equi-join on (band, band_hash) — never a cross join.
+    Pass ``num_hashes`` when known: the fallback peeks at one row, which
+    costs a full evaluation of the signature aggregation."""
+    if num_hashes is None:
+        num_hashes = len(signatures.select("sig").first().sig)
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         F.col(key),
@@ -202,6 +206,10 @@ def minhash_verified_pairs(
     (1 - J^2)^32 <= 1e-4). This is the scale shape: candidates come from an
     equi-join on (band, bucket), the verify join touches candidate pairs
     only, never all pairs."""
+    # NOTE: shingles feeds four branches; measured at sf0.1, re-deriving the
+    # explode per branch from the parquet scan beats a localCheckpoint here
+    # (the checkpoint hides size stats from AQE and the verify join loses
+    # its broadcast).
     sig = minhash_signatures(shingles, key=key, num_hashes=num_hashes)
     # banding recall is tuned for >= threshold, but it also admits ~8% of
     # random low-similarity pairs (2-row bands match with prob J^2 PER band);
@@ -209,7 +217,8 @@ def minhash_verified_pairs(
     # 4 sigma below the verify threshold for 64 hashes — prunes that noise
     # before the (much costlier) exact shingle-set verification join.
     cands = minhash_lsh_pairs(
-        sig, key=key, bands=bands, threshold=threshold / 2
+        sig, key=key, bands=bands, threshold=threshold / 2,
+        num_hashes=num_hashes,
     ).select("a", "b")
     sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
     a_sh = cands.join(shingles.select(F.col(key).alias("a"), "shingle"), "a")
