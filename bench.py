@@ -108,6 +108,22 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy(
         "n_regionkey"
     ).count().collect()
+    # host-calibration probe: a FIXED pure-Catalyst shuffle (no engine code,
+    # no data dependence) timed and reported with every bench run. The
+    # sandbox host's throughput swings ~9x between windows (BASELINE.md
+    # "Host-degradation log"); this constant lets any two BENCH_r{N}.json
+    # files be normalized before comparison. Healthy host: ~2-4 s.
+    from pyspark.sql import functions as _F
+
+    t0 = time.time()
+    (
+        spark.range(0, 30_000_000)
+        .withColumn("k", _F.pmod(_F.xxhash64("id"), _F.lit(1_000_000)))
+        .groupBy("k")
+        .count()
+        .count()
+    )
+    host_probe = round(time.time() - t0, 2)
     qtimes: dict[str, float] = {}
     qs = entrymod.queries()
     for name in HEADLINE:
@@ -126,6 +142,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "n_docs": e2e["n_docs"],
         "docs_per_sec": round(e2e["docs_per_sec"], 1),
         "cpus": cpus,
+        "host_probe_sec": host_probe,
     }
     spark.stop()
     return out
