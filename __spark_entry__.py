@@ -502,6 +502,124 @@ ORDER BY rule_id, i
 """
 
 
+def q_kg_disjointness(spark, sf_dir):
+    """The P2738/P11260 disjoint-union violation workload
+    (dev_scripts/wikidata-disjointness-violations.zph:3-4 and the paper
+    query of test_wikidata_qualifiers.cpp:144), end-to-end: union-class
+    declarations rendered through the REAL dump-line path (one P2738
+    statement per nation, two P11260 qualifiers listing the disjoint pair
+    D2k/D2k+1, every 5th statement deprecated), parsed by the statements
+    scanner, deprecated statements MINUS'd out, then the two 5-condition
+    conjunction contradiction rules evaluated over statements + taxonomy
+    edges derived from customers (subclass K*, instance X*; every 7th/11th
+    customer straddles a disjoint pair)."""
+    import pandas as pd
+
+    from zelph_spark import datagen, statements as S
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def to_lines(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                k = int(r.n_nationkey)
+                ent = {
+                    "id": f"Q90{k}",
+                    "labels": {"en": f"union class {k}"},
+                    "claims": [
+                        (
+                            "P2738",
+                            ("item", f"UL{k}"),
+                            [
+                                ("P11260", ("item", f"D{2 * k}")),
+                                ("P11260", ("item", f"D{2 * k + 1}")),
+                            ],
+                            "deprecated" if k % 5 == 0 else "normal",
+                        ),
+                    ],
+                }
+                rows.append((datagen.render_line(ent),))
+            yield pd.DataFrame(rows, columns=["line"])
+
+    lines = nat.mapInPandas(to_lines, schema="line string")
+    stmts = S.drop_deprecated_statements(S.extract_statements(lines))
+
+    c = _t(spark, sf_dir, "customer")
+    m = F.col("c_custkey") % 50
+    partner = F.concat(F.lit("D"), m + 1 - 2 * (m % 2))
+    base = F.concat(F.lit("D"), m)
+    kn = F.concat(F.lit("K"), F.col("c_custkey"))
+    xn = F.concat(F.lit("X"), F.col("c_custkey"))
+    edges = (
+        c.select(kn.alias("subj"), F.lit("P279").alias("pred"), base.alias("obj"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 0).select(
+                kn.alias("subj"), F.lit("P279").alias("pred"),
+                partner.alias("obj"),
+            )
+        )
+        .unionByName(
+            c.select(xn.alias("subj"), F.lit("P31").alias("pred"),
+                     base.alias("obj"))
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0).select(
+                xn.alias("subj"), F.lit("P31").alias("pred"),
+                partner.alias("obj"),
+            )
+        )
+    )
+    cons = evaluate_contradictions(
+        stmts.unionByName(edges), S.disjointness_rules()
+    )
+    b = F.col("bindings")
+    return (
+        cons.select(
+            "rule_id",
+            b["C"].alias("c"),
+            F.coalesce(b["K"], b["X"]).alias("k"),
+            b["A"].alias("a"),
+            b["B"].alias("b"),
+        )
+        .distinct()
+        .orderBy("rule_id", "c", "k", "a", "b")
+    )
+
+
+ORACLE_KG_DISJOINTNESS = """
+WITH st AS (
+  SELECT 'Q90' || n_nationkey AS c,
+         'D' || (2 * n_nationkey) AS d1,
+         'D' || (2 * n_nationkey + 1) AS d2
+  FROM nation WHERE n_nationkey % 5 <> 0
+), listed AS (
+  SELECT c, d1 AS d FROM st UNION ALL SELECT c, d2 FROM st
+), sube AS (
+  SELECT 'K' || c_custkey AS k, 'D' || (c_custkey % 50) AS d FROM customer
+  UNION ALL
+  SELECT 'K' || c_custkey,
+         'D' || (c_custkey % 50 + 1 - 2 * (c_custkey % 50 % 2))
+  FROM customer WHERE c_custkey % 7 = 0
+), isae AS (
+  SELECT 'X' || c_custkey AS k, 'D' || (c_custkey % 50) AS d FROM customer
+  UNION ALL
+  SELECT 'X' || c_custkey,
+         'D' || (c_custkey % 50 + 1 - 2 * (c_custkey % 50 % 2))
+  FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT DISTINCT 'disjoint-p279' AS rule_id, la.c AS c, ea.k AS k,
+       la.d AS a, lb.d AS b
+FROM listed la JOIN listed lb ON la.c = lb.c
+JOIN sube ea ON ea.d = la.d JOIN sube eb ON eb.k = ea.k AND eb.d = lb.d
+UNION
+SELECT DISTINCT 'disjoint-p31', la.c, ea.k, la.d, lb.d
+FROM listed la JOIN listed lb ON la.c = lb.c
+JOIN isae ea ON ea.d = la.d JOIN isae eb ON eb.k = ea.k AND eb.d = lb.d
+ORDER BY rule_id, c, k, a, b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational core (Catalyst-heavy, TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -876,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_degrees": q_kg_degrees,
         "kg_constraint_contradictions": q_kg_constraint_contradictions,
+        "kg_disjointness": q_kg_disjointness,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -906,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_subquery": ORACLE_KG_SPARQL_SUBQUERY,
         "kg_degrees": ORACLE_KG_DEGREES,
         "kg_constraint_contradictions": ORACLE_KG_CONSTRAINTS,
+        "kg_disjointness": ORACLE_KG_DISJOINTNESS,
         "q1_pricing_summary": ORACLE_Q1,
         "q3_shipping_priority": ORACLE_Q3,
         "q5_nation_revenue": ORACLE_Q5,

@@ -424,6 +424,111 @@ def test_fresh_variable_rule_parity(spark, oracle_bin, tmp_path):
     assert res2.n_deduced == 0
 
 
+def test_fresh_variable_unprojected_body_var_parity(
+    spark, oracle_bin, tmp_path
+):
+    """R6 minting must key on the *consequence* instantiation, not the full
+    binding: for ``[?X P50 ?Y] => ?X P100 ?N`` the reference's sequential
+    consequences_already_exist guard (reasoning_deduce.cpp:48-130) mints ONE
+    fresh node per distinct ?X — the second firing for the same ?X (different
+    ?Y) sees the consequence already present and is suppressed.  A minting
+    keyed on all binding columns would create one node per (?X, ?Y)."""
+    facts = {
+        ("Q1", "P50", "Qa"),
+        ("Q1", "P50", "Qb"),
+        ("Q1", "P50", "Qd"),
+        ("Q2", "P50", "Qa"),
+    }
+    rule = Rz.R(
+        "mk1",
+        [Rz.P("?X", "P50", "?Y")],
+        [Rz.P("?X", "P100", "?N"), Rz.P("?N", "P31", "Qm")],
+    )
+
+    r = _run_oracle(oracle_bin, tmp_path, _dsl(facts, [rule]))
+    assert r.returncode == 0, r.stderr[-800:]
+    body = r.stdout.split("===DUMP===")[1].split("===END===")[0]
+    ref = set()
+    for line in body.strip().splitlines():
+        s, p, o, _prob = line.split("\t")
+        if any(t in GLYPHS or t.startswith("_v") for t in (s, p, o)):
+            continue
+        ref.add((s, p, o))
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(sorted(facts), columns=["subj", "pred", "obj"])
+    )
+    res = run_fixpoint(df, [rule])
+    got = {(r_.subj, r_.pred, r_.obj) for r_ in res.edges.collect()}
+
+    def p100(triples):
+        out = {}
+        for s, p, o in triples:
+            if p == "P100":
+                out.setdefault(s, set()).add(o)
+        return out
+
+    ref_p100, got_p100 = p100(ref), p100(got)
+    for side in (ref_p100, got_p100):
+        # exactly one fresh target per distinct ?X, not per (?X, ?Y) firing
+        assert set(side) == {"Q1", "Q2"}
+        assert len(side["Q1"]) == 1 and len(side["Q2"]) == 1
+        assert side["Q1"] != side["Q2"]
+
+    # fresh ids are minted in the reserved range, disjoint from imports
+    fresh_got = set().union(*got_p100.values())
+    assert all(t.startswith("_f") for t in fresh_got)
+
+    res2 = run_fixpoint(res.edges, [rule])
+    assert res2.n_deduced == 0
+
+
+def test_fresh_variable_constant_consequence_parity(
+    spark, oracle_bin, tmp_path
+):
+    """Degenerate R6 shape: every consequence term is a constant or fresh
+    (``[?X P31 Qc] => Qz P100 ?N``).  The reference mints exactly one fresh
+    node on the first firing and suppresses the rest; the projected-mint
+    compiler path must collapse all bindings to a single firing too."""
+    facts = {
+        ("Q1", "P31", "Qc"),
+        ("Q2", "P31", "Qc"),
+        ("Q3", "P31", "Qc"),
+    }
+    rule = Rz.R(
+        "mk2",
+        [Rz.P("?X", "P31", "Qc")],
+        [Rz.P("Qz", "P100", "?N")],
+    )
+
+    r = _run_oracle(oracle_bin, tmp_path, _dsl(facts, [rule]))
+    assert r.returncode == 0, r.stderr[-800:]
+    body = r.stdout.split("===DUMP===")[1].split("===END===")[0]
+    ref_targets = set()
+    for line in body.strip().splitlines():
+        s, p, o, _prob = line.split("\t")
+        if s == "Qz" and p == "P100":
+            ref_targets.add(o)
+    assert len(ref_targets) == 1
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(sorted(facts), columns=["subj", "pred", "obj"])
+    )
+    res = run_fixpoint(df, [rule])
+    got_targets = {
+        r_.obj
+        for r_ in res.edges.collect()
+        if r_.subj == "Qz" and r_.pred == "P100"
+    }
+    assert len(got_targets) == 1
+    res2 = run_fixpoint(res.edges, [rule])
+    assert res2.n_deduced == 0
+
+
 def test_transitive_closure_parity(spark, oracle_bin, tmp_path):
     """C1 transitive_targets vs the reference's bfs_over_index on a branchy
     cyclic graph (closure semantics: reachable-via-predicate, excluding the

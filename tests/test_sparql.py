@@ -209,3 +209,78 @@ def test_both_unbound_star_rejected(edges):
         edges, "SELECT ?x ?y WHERE { ?x knows* ?y . ?x type admin }"
     )
     assert ("bob", "dave") in rows(out) and ("bob", "bob") in rows(out)
+
+
+def test_bound_end_path_is_seeded(edges, spark, monkeypatch):
+    """Q12 scale contract: a path step with a constant (or upstream-bound)
+    end must run the SEEDED cone traversal (closure.transitive_targets /
+    _sources, zelph.cpp:267-296), never the full-graph closure + filter."""
+    import zelph_spark.sparql as S
+
+    calls = {"seeded": 0, "full": 0}
+    pair_counts = []
+    orig_targets, orig_sources = S.transitive_targets, S.transitive_sources
+
+    def spy_targets(*a, **kw):
+        calls["seeded"] += 1
+        out = orig_targets(*a, **kw)
+        pair_counts.append(out.count())
+        return out
+
+    def spy_sources(*a, **kw):
+        calls["seeded"] += 1
+        out = orig_sources(*a, **kw)
+        pair_counts.append(out.count())
+        return out
+
+    def spy_full(*a, **kw):
+        calls["full"] += 1
+        raise AssertionError("full closure used for a bound-end path")
+
+    monkeypatch.setattr(S, "transitive_targets", spy_targets)
+    monkeypatch.setattr(S, "transitive_sources", spy_sources)
+    monkeypatch.setattr(S, "transitive_closure", spy_full)
+
+    # two disjoint knows-chains: the seeded traversal from alice must touch
+    # only alice's cone, not the unrelated chain
+    g = spark.createDataFrame(
+        pd.DataFrame(
+            GRAPH + [(f"u{i}", "knows", f"u{i+1}") for i in range(30)],
+            columns=["subj", "pred", "obj"],
+        )
+    )
+    out = sparql(g, "SELECT ?y WHERE { wd:alice knows+ ?y . }")
+    assert rows(out) == {("bob",), ("carol",), ("dave",)}
+    assert calls == {"seeded": 1, "full": 0}
+    # cone-only: 3 reachable pairs, not the 30-node chain's ~465 pairs
+    assert pair_counts[0] == 3
+
+    # constant OBJECT end seeds a backward traversal; '*' includes the start
+    out2 = sparql(g, "SELECT ?x WHERE { ?x knows* wd:carol . }")
+    assert rows(out2) == {("alice",), ("bob",), ("carol",)}
+    assert calls["seeded"] == 2 and calls["full"] == 0
+    assert pair_counts[1] == 3  # alice/bob reach carol + (carol, carol)
+
+
+def test_path_memoized_within_query(edges, monkeypatch):
+    """A path element appearing twice in one query computes its slice once
+    (sparql.zph:75-78 memoization)."""
+    import zelph_spark.sparql as S
+
+    n = {"slices": 0}
+    orig = S._path_slice
+
+    def spy(edges_, name, memo):
+        before = ("slice", name) in memo
+        out = orig(edges_, name, memo)
+        if not before:
+            n["slices"] += 1
+        return out
+
+    monkeypatch.setattr(S, "_path_slice", spy)
+    out = sparql(
+        edges,
+        "SELECT ?x ?y WHERE { ?x type admin . ?x knows+ ?y . ?x knows+ ?y }",
+    )
+    assert rows(out) == {("bob", "carol"), ("bob", "dave")}
+    assert n["slices"] == 1

@@ -97,6 +97,15 @@ def rules_dsl():
 
     lines = []
     for r in Rz.wikidata_rules():
+        # This simple emitter covers only plain conjunctive rules with one
+        # consequence; assert the benchmarked ruleset has no constructs it
+        # would silently drop (the full translation lives in
+        # tests/test_reference_oracle.py::_dsl).
+        assert not r.negated, f"{r.rule_id}: negated conditions unsupported"
+        assert not r.unequals, f"{r.rule_id}: unequal guards unsupported"
+        assert not r.extra_consequences, (
+            f"{r.rule_id}: extra consequences unsupported"
+        )
         conds = " | ".join(
             f"{c.subj} {c.pred} {c.obj}" for c in r.conditions
         )

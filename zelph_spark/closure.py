@@ -32,7 +32,10 @@ AUTO_SWITCH_ROUND = 3
 
 
 def transitive_closure(
-    pairs: DataFrame, method: str = "auto", max_iter: int = 64
+    pairs: DataFrame,
+    method: str = "auto",
+    max_iter: int = 64,
+    prepared: bool = False,
 ) -> DataFrame:
     """All (subj, obj) with a directed path subj ->+ obj ('+' closure).
 
@@ -41,8 +44,15 @@ def transitive_closure(
     (taxonomies) finish before the switch — then flip to doubling so a deep
     chain costs O(log diameter) further rounds instead of one per level.
     Any prefix of linear rounds followed by doubling yields the identical
-    closure (every added pair is a concatenation of real paths)."""
-    base = pairs.select(*PAIR).distinct().localCheckpoint()
+    closure (every added pair is a concatenation of real paths).
+
+    ``prepared``: the caller guarantees ``pairs`` is already distinct and
+    materialized (the analog of zelph's cached per-predicate index,
+    zelph.cpp:44-47) — skip the initial dedup+checkpoint so repeated
+    closures over one slice don't re-materialize it."""
+    base = (
+        pairs if prepared else pairs.select(*PAIR).distinct().localCheckpoint()
+    )
     reach = base
     frontier = base
     for rnd in range(max_iter):
@@ -70,10 +80,10 @@ def transitive_closure(
     return reach
 
 
-def closure_with_start(pairs: DataFrame) -> DataFrame:
+def closure_with_start(pairs: DataFrame, prepared: bool = False) -> DataFrame:
     """'*' closure: '+' closure ∪ identity over every node present
     (include_start=True in zelph.cpp:267-296; SPARQL p* vs p+)."""
-    plus = transitive_closure(pairs)
+    plus = transitive_closure(pairs, prepared=prepared)
     nodes = (
         pairs.select("subj").union(pairs.select(F.col("obj").alias("subj"))).distinct()
     )
@@ -86,10 +96,14 @@ def transitive_targets(
     start: DataFrame,
     include_start: bool = False,
     max_iter: int = 64,
+    prepared: bool = False,
 ) -> DataFrame:
     """Forward closure from a seed set (zelph.cpp:267-281): returns
-    (start, target) rows. ``start`` is a one-column DF named 'node'."""
-    base = pairs.select(*PAIR).distinct().localCheckpoint()
+    (start, target) rows. ``start`` is a one-column DF named 'node'.
+    ``prepared``: see :func:`transitive_closure`."""
+    base = (
+        pairs if prepared else pairs.select(*PAIR).distinct().localCheckpoint()
+    )
     frontier = (
         start.select(F.col("node").alias("subj"))
         .distinct()

@@ -65,7 +65,13 @@ def node_id(name_col, lang_col=None):
     """
     if lang_col is None:
         lang_col = F.lit("wikidata")
-    return F.xxhash64(lang_col, name_col)
+    # Sign bit cleared: negative ids are reserved for reasoning-minted fresh
+    # nodes (compiler.project_consequence), so a minted id can never collide
+    # with an imported one — the analog of the reference keeping variable ids
+    # in a top-bit range (network_types.hpp:44).
+    return F.xxhash64(lang_col, name_col).bitwiseAND(
+        F.lit(0x7FFFFFFFFFFFFFFF)
+    )
 
 
 def fact_id(subj_col, pred_col, obj_col):

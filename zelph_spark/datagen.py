@@ -75,10 +75,11 @@ def _render_snak_body(prop: str, snak: tuple) -> str:
 
 
 def _render_snak(prop: str, snak: tuple, quals: list | None = None,
-                 stmt_id: str | None = None) -> str:
+                 stmt_id: str | None = None, rank: str = "normal") -> str:
     """One claim object. ``quals`` = [(qprop, snak), ...] renders a
     qualifiers block; ``stmt_id`` renders the statement id (required for the
-    qualifier-import path, wikidata.cpp:1322)."""
+    qualifier-import path, wikidata.cpp:1322); ``rank`` is the statement
+    rank (normal/preferred/deprecated)."""
     parts = ['"mainsnak":' + _render_snak_body(prop, snak)]
     if quals:
         groups: dict[str, list] = {}
@@ -92,7 +93,7 @@ def _render_snak(prop: str, snak: tuple, quals: list | None = None,
     parts.append('"type":"statement"')
     if stmt_id:
         parts.append('"id":"%s"' % stmt_id)
-    parts.append('"rank":"normal"')
+    parts.append('"rank":"%s"' % rank)
     return "{%s}" % ",".join(parts)
 
 
@@ -123,13 +124,15 @@ def render_line(ent: dict) -> str:
         for lang, vals in aliases.items()
     )
     parts.append('"aliases":{%s}' % a)
-    # claims: (prop, snak) or (prop, snak, qualifiers) tuples; grouped per
-    # property preserving order. Claims with qualifiers get statement ids.
+    # claims: (prop, snak) / (prop, snak, qualifiers) / (prop, snak,
+    # qualifiers, rank) tuples; grouped per property preserving order.
+    # Claims with qualifiers get statement ids.
     groups: dict[str, list] = {}
     for claim in ent.get("claims", []):
         prop, snak = claim[0], claim[1]
         quals = claim[2] if len(claim) > 2 else None
-        groups.setdefault(prop, []).append((snak, quals))
+        rank = claim[3] if len(claim) > 3 else "normal"
+        groups.setdefault(prop, []).append((snak, quals, rank))
     c = ",".join(
         '"%s":[%s]'
         % (
@@ -140,8 +143,9 @@ def render_line(ent: dict) -> str:
                     s,
                     quals=q,
                     stmt_id=f"{ent['id']}${prop}-{i}" if q else None,
+                    rank=rk,
                 )
-                for i, (s, q) in enumerate(snaks)
+                for i, (s, q, rk) in enumerate(snaks)
             ),
         )
         for prop, snaks in groups.items()

@@ -168,6 +168,25 @@ def project_consequence(
                 "project_consequence needs the edge extent for the "
                 "termination guard"
             )
+        # The reference's sequential guard (consequences_already_exist,
+        # reasoning_deduce.cpp:48-130) keys on the *consequence* instantiation
+        # only: two firings that differ in a body variable not referenced by
+        # any consequence still produce the same consequences, so they mint
+        # ONE fresh node, not one per firing. Project the bindings onto the
+        # consequence-referenced variables before guarding and minting.
+        cons_vars = set()
+        for c in cons_list:
+            cons_vars |= {
+                t for t in (c.subj, c.pred, c.obj) if is_var(t)
+            }
+        proj = sorted(_vcol(v) for v in cons_vars - set(fresh))
+        if proj:
+            bindings = bindings.select(*proj).dropDuplicates()
+        else:
+            # consequences are all-constant-plus-fresh: one firing total
+            bindings = (
+                bindings.select(F.lit(1).alias("_k")).dropDuplicates()
+            )
         guard = Rule(f"{rule.rule_id}#exists", tuple(cons_list), None)
         satisfied = compile_rule_body(guard, edges)
         shared = sorted(set(bindings.columns) & set(satisfied.columns))
@@ -191,8 +210,16 @@ def project_consequence(
                 F.lit(rule.rule_id), F.lit(v),
                 *[F.col(c) for c in key_cols],
             )
+            # Minted ids live in a reserved range disjoint from imported
+            # node ids: imported ids are non-negative (config.node_id clears
+            # the sign bit), minted ids set it — mirroring the reference's
+            # top-bit variable-id convention (network_types.hpp:44), so a
+            # hash collision can never silently alias a fresh node onto a
+            # real entity.
+            minted = h.bitwiseOR(F.lit(-0x8000000000000000))
             bindings = bindings.withColumn(
-                _vcol(v), h if id_is_long else F.format_string("_f%016x", h)
+                _vcol(v),
+                minted if id_is_long else F.format_string("_f%016x", h),
             )
 
     def term(t: str):

@@ -14,8 +14,11 @@ translated into wikidata-id space (the .zph name bindings at lines 3-15):
 script asserts that are not part of Wikidata itself (lines 25, 34).
 
 Fresh-variable consequences (variables appearing only in the consequence,
-``reasoning_deduce.cpp:48-126``) are rejected by the compiler — the Wikidata
-ruleset has none; documented divergence per SURVEY.md §7 hard-part 6.
+``reasoning_deduce.cpp:48-126``) are supported (R6): the compiler mints a
+deterministic hashed id per distinct consequence instantiation, shared
+across all consequences of the rule, guarded by an existence anti-join —
+see ``reasoning/compiler.py`` ``project_consequence``. The Wikidata
+ruleset itself has none.
 """
 
 from __future__ import annotations

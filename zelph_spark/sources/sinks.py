@@ -134,6 +134,8 @@ def export_mermaid_html(
     inside a minimal standalone HTML page (mermaid.js from its standard
     CDN; the reference instead bundles an interactive viewer). Returns the
     HTML text; writes it when ``path`` is given."""
+    import html as _html
+
     rows = neighborhood(edges, focus, depth, max_neighbors).collect()
     names = names or {}
 
@@ -145,7 +147,10 @@ def export_mermaid_html(
         return "n" + hashlib.md5(n.encode()).hexdigest()[:12]
 
     def label(n: str) -> str:
-        text = names.get(n, n)
+        # Labels come from public dump data (untrusted): HTML-escape so a
+        # label cannot close the <pre> block and inject markup/script into
+        # the exported page, on top of the mermaid quote sanitization.
+        text = _html.escape(names.get(n, n), quote=False)
         return text.replace('"', "'")
 
     lines = ["graph LR"]

@@ -32,7 +32,13 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 from . import query as Q
-from .closure import closure_with_start, path_sequence, transitive_closure
+from .closure import (
+    closure_with_start,
+    path_sequence,
+    transitive_closure,
+    transitive_sources,
+    transitive_targets,
+)
 from .rules import Pattern
 
 _REJECT = re.compile(
@@ -394,21 +400,70 @@ class _Parser:
 PATH_SEP = "\x00"
 
 
-def _edges_for_path(edges: DataFrame, pred: str) -> DataFrame:
-    """Resolve a path element to a (subj, obj) slice: plain predicate,
-    ``p+``, ``p*``, or a ``p1/p2`` sequence (sparql.zph:345-361,652-811)."""
-    if PATH_SEP in pred:
-        return path_sequence(
-            [_edges_for_path(edges, p) for p in pred.split(PATH_SEP)]
+def _path_slice(edges: DataFrame, name: str, memo: dict) -> DataFrame:
+    """Distinct, materialized (subj, obj) slice for one predicate — the
+    analog of zelph's cached per-predicate index (zelph.cpp:44-47),
+    memoized per query like sparql.zph:75-78 memoizes path closures."""
+    key = ("slice", name)
+    if key not in memo:
+        memo[key] = (
+            edges.filter(F.col("pred") == name)
+            .select("subj", "obj")
+            .distinct()
+            .localCheckpoint()
         )
+    return memo[key]
+
+
+def _edges_for_path(edges: DataFrame, pred: str, memo: dict) -> DataFrame:
+    """Resolve a path element to a (subj, obj) slice: plain predicate,
+    ``p+``, ``p*``, or a ``p1/p2`` sequence (sparql.zph:345-361,652-811).
+    Full closures are memoized per query (sparql.zph:75-78), so a path
+    element appearing twice costs one closure computation."""
+    if pred in memo:
+        return memo[pred]
+    if PATH_SEP in pred:
+        out = path_sequence(
+            [_edges_for_path(edges, p, memo) for p in pred.split(PATH_SEP)]
+        )
+    else:
+        mod = pred[-1] if pred[-1] in "+*" else ""
+        name = pred.rstrip("+*")
+        base = _path_slice(edges, name, memo)
+        if mod == "+":
+            out = transitive_closure(base, prepared=True)
+        elif mod == "*":
+            out = closure_with_start(base, prepared=True)
+        else:
+            out = base
+    memo[pred] = out
+    return out
+
+
+def _seeded_path_pairs(
+    edges: DataFrame, pred: str, seeds: DataFrame, forward: bool, memo: dict
+) -> DataFrame:
+    """Bound-end path evaluation (zelph.cpp:267-296; sparql.zph:652-747
+    binds path ends per solution): compute only the closure cone of the
+    seed set instead of the full-graph closure — the difference between
+    touching one node's ancestors and materializing a quadratic closure on
+    a dense taxonomy.  Returns (subj, obj) pairs restricted to the cone."""
     mod = pred[-1] if pred[-1] in "+*" else ""
     name = pred.rstrip("+*")
-    base = edges.filter(F.col("pred") == name).select("subj", "obj")
-    if mod == "+":
-        return transitive_closure(base)
-    if mod == "*":
-        return closure_with_start(base)
-    return base
+    base = _path_slice(edges, name, memo)
+    start = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    include_start = mod == "*"
+    if forward:
+        out = transitive_targets(
+            base, start, include_start=include_start, prepared=True
+        )
+        return out.select(
+            F.col("start").alias("subj"), F.col("node").alias("obj")
+        )
+    out = transitive_sources(
+        base, start, include_start=include_start, prepared=True
+    )
+    return out.select(F.col("node").alias("subj"), F.col("start").alias("obj"))
 
 
 def _bound_vars(node) -> set[str]:
@@ -432,29 +487,69 @@ def _bound_vars(node) -> set[str]:
     return set()
 
 
-def _eval(node, edges: DataFrame) -> DataFrame:
+def _eval(node, edges: DataFrame, ctx: DataFrame | None = None,
+          memo: dict | None = None) -> DataFrame:
+    """Evaluate an algebra node.  ``ctx`` is the solutions DataFrame
+    accumulated by the patterns already evaluated to the LEFT of this node —
+    the relational form of zelph's sequential per-solution evaluation
+    (sparql.zph:551-568): a later pattern sees earlier bindings, which is
+    what lets a property path whose end variable was bound upstream run as
+    a seeded cone traversal instead of a full-graph closure."""
+    if memo is None:
+        memo = {}
     kind = node[0]
     if kind == "bgp":
         plain = [t for t in node[1] if not _is_path(t[1])]
         paths = [t for t in node[1] if _is_path(t[1])]
-        other_bound = {
+        sols = ctx
+        other_bound = set(ctx.columns) if ctx is not None else set()
+        other_bound |= {
             t[1:] for tr in plain for t in tr if t.startswith("?")
         }
-        sols = None
         if plain:
-            sols = Q.bgp(edges, [Pattern(*t) for t in plain])
+            bdf = Q.bgp(edges, [Pattern(*t) for t in plain])
+            sols = bdf if sols is None else Q.join(sols, bdf)
+
+        def is_bound(t):
+            return t.startswith("?") and sols is not None and t[1:] in sols.columns
+
         for s, p, o in paths:
-            if (
-                p.endswith("*") and PATH_SEP not in p
-                and s.startswith("?") and o.startswith("?")
-                and s[1:] not in other_bound and o[1:] not in other_bound
+            simple = PATH_SEP not in p
+            mod = p[-1] if p[-1] in "+*" else ""
+            s_const, o_const = not s.startswith("?"), not o.startswith("?")
+            if simple and mod and (
+                s_const or o_const or is_bound(s) or is_bound(o)
             ):
-                # sparql.zph:735 — a bare * step with both ends unbound
-                # relates every node to itself ("ludicrous results")
-                raise SparqlError(
-                    "Property path with both ends unbound is not supported for *"
-                )
-            pairs = _edges_for_path(edges, p)
+                # Q12 seeded evaluation: at least one end is a constant or
+                # bound by the already-evaluated patterns — traverse only
+                # that end's cone (zelph.cpp:267-296).
+                spark = edges.sparkSession
+                if s_const:
+                    seeds = spark.range(1).select(F.lit(s).alias("node"))
+                    forward = True
+                elif o_const:
+                    seeds = spark.range(1).select(F.lit(o).alias("node"))
+                    forward = False
+                elif is_bound(s):
+                    seeds = sols.select(s[1:])
+                    forward = True
+                else:
+                    seeds = sols.select(o[1:])
+                    forward = False
+                pairs = _seeded_path_pairs(edges, p, seeds, forward, memo)
+            else:
+                if (
+                    p.endswith("*") and simple
+                    and s.startswith("?") and o.startswith("?")
+                    and s[1:] not in other_bound and o[1:] not in other_bound
+                ):
+                    # sparql.zph:735 — a bare * step with both ends unbound
+                    # relates every node to itself ("ludicrous results")
+                    raise SparqlError(
+                        "Property path with both ends unbound is not "
+                        "supported for *"
+                    )
+                pairs = _edges_for_path(edges, p, memo)
             pdf = _bind_pair(pairs, s, o)
             sols = pdf if sols is None else Q.join(sols, pdf)
             other_bound |= {t[1:] for t in (s, o) if t.startswith("?")}
@@ -462,16 +557,25 @@ def _eval(node, edges: DataFrame) -> DataFrame:
             raise SparqlError("empty group pattern")
         return sols
     if kind == "join":
-        return Q.join(_eval(node[1], edges), _eval(node[2], edges))
+        left = _eval(node[1], edges, ctx, memo)
+        return _eval(node[2], edges, left, memo)
     if kind == "optional":
-        return Q.optional(_eval(node[1], edges), _eval(node[2], edges))
+        out = Q.optional(
+            _eval(node[1], edges, ctx, memo), _eval(node[2], edges, None, memo)
+        )
+        return out
     if kind == "minus":
-        return Q.minus(_eval(node[1], edges), _eval(node[2], edges))
+        return Q.minus(
+            _eval(node[1], edges, ctx, memo), _eval(node[2], edges, None, memo)
+        )
     if kind == "union":
-        return Q.union(_eval(node[1], edges), _eval(node[2], edges))
+        out = Q.union(
+            _eval(node[1], edges, None, memo), _eval(node[2], edges, None, memo)
+        )
+        return out if ctx is None else Q.join(ctx, out)
     if kind == "filter":
         _, child, (lhs, op, rhs) = node
-        df = _eval(child, edges)
+        df = _eval(child, edges, ctx, memo)
         numeric = "number" in (lhs[0], rhs[0])
 
         def col(arg):
@@ -497,13 +601,16 @@ def _eval(node, edges: DataFrame) -> DataFrame:
         }[op]
         return df.where(cond)
     if kind == "select":
-        return _eval_select(node, edges)
+        # subqueries have their own scope: evaluate independently, then
+        # join with the outer accumulated solutions (sparql.zph:1016)
+        out = _eval_select(node, edges, memo)
+        return out if ctx is None else Q.join(ctx, out)
     raise SparqlError(f"unknown node {kind}")
 
 
-def _eval_select(node, edges: DataFrame) -> DataFrame:
+def _eval_select(node, edges: DataFrame, memo: dict | None = None) -> DataFrame:
     _, distinct, proj, tree, group_by, order, limit = node
-    sols = _eval(tree, edges)
+    sols = _eval(tree, edges, None, memo if memo is not None else {})
     counts = [p for p in proj if proj != "*" and p[0] == "count"]
     if counts:
         _, dist, target, alias = counts[0]

@@ -222,6 +222,68 @@ def extract_statements(
     return lines.select(line_col).mapInPandas(scan, schema=STATEMENT_SCHEMA)
 
 
+def disjointness_rules() -> list[Rule]:
+    """The P2738/P11260 disjoint-union violation workload
+    (``dev_scripts/wikidata-disjointness-violations.zph:3-4``): a class C
+    declares via a P2738 ("disjoint union of") statement S that the classes
+    listed as P11260 qualifiers of S partition it; any K below two listed
+    classes at once — by subclass (P279) or by instance (P31) — violates the
+    disjointness.  Two 5-condition conjunction contradiction rules over the
+    reified p:/pq: layer (the qualifier import names its predicates
+    ``p:P2738`` / ``pq:P11260``, wikidata.cpp:1322-1366; the paper query in
+    ``test_wikidata_qualifiers.cpp:144`` uses the same layer).
+
+    Faithful to the reference: NO inequality guard between ?A and ?B —
+    zelph's unification lets distinct variables bind the same node (verified
+    against the compiled reference binary: the rule fires with a single
+    listed class), so ?A = ?B firings are part of the contract."""
+    return [
+        Rule(
+            "disjoint-p279",
+            (
+                Pat("?C", "p:P2738", "?S"),
+                Pat("?S", "pq:P11260", "?A"),
+                Pat("?S", "pq:P11260", "?B"),
+                Pat("?K", "P279", "?A"),
+                Pat("?K", "P279", "?B"),
+            ),
+        ),
+        Rule(
+            "disjoint-p31",
+            (
+                Pat("?C", "p:P2738", "?S"),
+                Pat("?S", "pq:P11260", "?A"),
+                Pat("?S", "pq:P11260", "?B"),
+                Pat("?X", "P31", "?A"),
+                Pat("?X", "P31", "?B"),
+            ),
+        ),
+    ]
+
+
+def drop_deprecated_statements(statements: DataFrame) -> DataFrame:
+    """Remove every row of statements whose statement node carries
+    ``wikibase:rank wikibase:DeprecatedRank`` — the relational form of the
+    paper query's ``MINUS { ?l wikibase:rank wikibase:DeprecatedRank }``
+    (test_wikidata_qualifiers.cpp:158).  Deprecated statements are a tiny
+    fraction of a dump, so the anti-join build side stays broadcastable."""
+    dep = (
+        statements.filter(
+            (F.col("pred") == "wikibase:rank")
+            & (F.col("obj") == "wikibase:DeprecatedRank")
+        )
+        .select(F.col("subj").alias("stmt"))
+        .distinct()
+    )
+    out = statements
+    for side in ("subj", "obj"):
+        d = dep.withColumnRenamed("stmt", f"_dep_{side}")
+        out = out.join(
+            F.broadcast(d), out[side] == d[f"_dep_{side}"], "left_anti"
+        )
+    return out
+
+
 def constraint_rules(statements: DataFrame) -> tuple[list[Rule], DataFrame]:
     """S5: compile P2302 constraint statements into contradiction Rules.
 
