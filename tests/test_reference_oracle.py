@@ -660,3 +660,69 @@ def test_clean_corpus_no_contradictions(spark, oracle_bin, tmp_path):
     want, n_contra = run_reference(oracle_bin, tmp_path, facts, allrules)
     assert n_contra == 0
     assert ("Q1", "P279", "Q3") in want
+
+
+def test_low_prob_fact_feeds_rules_parity(spark, oracle_bin, tmp_path):
+    """Probability semantics (a): unification IGNORES fact probabilities — a
+    prob-0.1 ("known to be wrong", network.hpp:65-94) fact fires rules
+    exactly like a trusted one, and the deduced fact lands with prob 1
+    (rule confidence, reasoning.hpp:58-62). Verified against the compiled
+    reference, mirrored by run_fixpoint keeping every triple in the input."""
+    facts = {("Q1", "P50", "Q2", 0.1)}
+    rule = Rz.R("r", [Rz.P("?X", "P50", "?Y")], [Rz.P("?X", "P60", "?Y")])
+
+    r = _run_oracle(oracle_bin, tmp_path, _dsl(facts, [rule]))
+    assert r.returncode == 0, r.stderr[-800:]
+    triples, probs, n_contra = _parse_dump(r)
+    assert ("Q1", "P60", "Q2") in triples
+    assert probs[("Q1", "P60", "Q2")] == [1.0]
+    assert probs[("Q1", "P50", "Q2")] == [0.1]
+    assert n_contra == 0
+
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([("Q1", "P50", "Q2")], columns=["subj", "pred", "obj"])
+    )
+    wrong = spark.createDataFrame(
+        pd.DataFrame([("Q1", "P50", "Q2")], columns=["subj", "pred", "obj"])
+    )
+    res = run_fixpoint(edges, [rule], wrong_facts=wrong)
+    got = {(x.subj, x.pred, x.obj) for x in res.edges.collect()}
+    assert ("Q1", "P60", "Q2") in got  # the low-prob fact fired the rule
+    assert res.contradictions.count() == 0  # deduced fact is NOT known-wrong
+
+
+def test_deduced_known_wrong_contradiction_parity(spark, oracle_bin, tmp_path):
+    """Probability semantics (b): a rule firing whose consequence is a
+    known-wrong fact (prob < 0.5) raises a contradiction and does NOT
+    create or upgrade the fact (reasoning_deduce.cpp:244-292,
+    zelph.cpp:477: fact() throws 'known to be wrong'). Reference counts 1
+    contradiction and keeps prob 0.1; run_fixpoint reports the firing as a
+    '#deduced-wrong' contradiction row and deduces nothing."""
+    facts = {("Q1", "P50", "Q2"), ("Q1", "P60", "Q2", 0.1)}
+    rule = Rz.R("r", [Rz.P("?X", "P50", "?Y")], [Rz.P("?X", "P60", "?Y")])
+
+    r = _run_oracle(oracle_bin, tmp_path, _dsl(facts, [rule]))
+    assert r.returncode == 0, r.stderr[-800:]
+    triples, probs, n_contra = _parse_dump(r)
+    assert n_contra == 1
+    assert probs[("Q1", "P60", "Q2")] == [0.1]  # not upgraded
+
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("Q1", "P50", "Q2"), ("Q1", "P60", "Q2")],
+            columns=["subj", "pred", "obj"],
+        )
+    )
+    wrong = spark.createDataFrame(
+        pd.DataFrame([("Q1", "P60", "Q2")], columns=["subj", "pred", "obj"])
+    )
+    res = run_fixpoint(edges, [rule], wrong_facts=wrong)
+    assert res.n_deduced == 0
+    rows = res.contradictions.collect()
+    assert len(rows) == 1
+    assert rows[0].rule_id == "r#deduced-wrong"
+    assert rows[0].bindings == {"X": "Q1", "Y": "Q2"}

@@ -178,9 +178,18 @@ def run_pipeline(
     )
     nodes = graph.build_nodes(edges)
 
-    # 5. reasoning to fixpoint + contradiction sweep — in long-id space
+    # 5. reasoning to fixpoint + contradiction sweep — in long-id space.
+    # Probability semantics (reference-verified, reasoning_deduce.cpp:244-292):
+    # unification ignores probs — sub-0.5 facts feed rules like trusted ones,
+    # so the fixpoint input keeps EVERY triple — but re-deducing a known-wrong
+    # fact (prob < 0.5) is a contradiction, not a deduction.
     counters: dict = {}
     id_edges = edges.select("subj", "pred", "obj")
+    known_wrong = (
+        edges.filter(F.col("prob") < 0.5).select("subj", "pred", "obj")
+        if "prob" in edges.columns
+        else None
+    )
     if reason:
         long_rules = Rz.resolve_rules(rules_pos, cmap)
         long_contras = Rz.resolve_rules(rules_con, cmap)
@@ -192,10 +201,19 @@ def run_pipeline(
                 id_edges, on=["subj", "pred", "obj"], how="left_anti"
             )
             contradictions = evaluate_contradictions(saturated_ids, long_contras)
+            if known_wrong is not None:
+                from .reasoning.fixpoint import deduced_wrong_contradictions
+
+                contradictions = contradictions.unionByName(
+                    deduced_wrong_contradictions(
+                        saturated_ids, long_rules, known_wrong
+                    )
+                )
             counters["resumed_reasoning"] = True
         else:
             fp = run_fixpoint(
-                id_edges, long_rules, contradiction_rules=long_contras
+                id_edges, long_rules, contradiction_rules=long_contras,
+                wrong_facts=known_wrong,
             )
             saturated_ids = (
                 stage("saturated", lambda: fp.edges) if store else fp.edges

@@ -141,6 +141,80 @@ def _new_facts(
     return _materialize(out, scratch, name)
 
 
+def deduced_wrong_contradictions(
+    edges: DataFrame,
+    rules: list[Rule],
+    wrong_facts: DataFrame,
+    present_preds: set | None = None,
+) -> DataFrame:
+    """Probability semantics inside reasoning (reasoning_deduce.cpp:244-292,
+    verified against the compiled reference binary): condition matching
+    IGNORES fact probabilities — a prob-0.1 fact fires rules exactly like a
+    trusted one — but a rule firing whose consequence is a known-wrong fact
+    (prob < 0.5, Answer::is_wrong, answer.cpp:73-76) raises a contradiction
+    and the fact is NOT created or upgraded.
+
+    Relational form: after saturation, for every rule whose consequence can
+    instantiate to a known-wrong triple, join the consequence projection
+    against ``wrong_facts`` and report (rule_id, bindings) rows alongside
+    the explicit contradiction rules.  ``wrong_facts`` is tiny (explicit
+    sub-0.5 assertions), so the whole sweep short-circuits to nothing when
+    it is empty and broadcasts when it is not."""
+    spark = edges.sparkSession
+    wrong = wrong_facts.select(*EDGE_COLS).distinct()
+    wrong_preds = {r.pred for r in wrong.select("pred").distinct().collect()}
+    empty = spark.createDataFrame([], "rule_id string, bindings map<string,string>")
+    if not wrong_preds:
+        return empty
+    outs = []
+    for rule in rules:
+        if rule.negated or not rule.consequences:
+            continue
+        if not _rule_can_fire(rule, present_preds):
+            continue
+        fresh = rule.fresh_vars
+        cons = [
+            c
+            for c in rule.consequences
+            # a consequence with a fresh variable names a minted node and
+            # can never equal a pre-existing wrong fact
+            if not any(t in fresh for t in (c.subj, c.pred, c.obj))
+            and (is_var(c.pred) or c.pred in wrong_preds)
+        ]
+        if not cons:
+            continue
+        b = compile_rule_body(rule, edges)
+        bcols = sorted(b.columns)
+        for c in cons:
+            def term(t):
+                return F.col(t[1:]) if is_var(t) else F.lit(t)
+
+            proj = b.select(
+                term(c.subj).alias("subj"),
+                term(c.pred).alias("pred"),
+                term(c.obj).alias("obj"),
+                *[F.col(cname).cast("string") for cname in bcols],
+            )
+            hits = (
+                proj.join(F.broadcast(wrong), on=EDGE_COLS)
+                .select(*bcols)
+                .dropDuplicates()
+            )
+            kvs = []
+            for cname in bcols:
+                kvs += [F.lit(cname), F.col(cname)]
+            outs.append(
+                hits.select(
+                    F.lit(f"{rule.rule_id}#deduced-wrong").alias("rule_id"),
+                    (
+                        F.create_map(*kvs) if kvs else F.create_map()
+                    ).alias("bindings"),
+                )
+            )
+    out = _union_all(outs)
+    return empty if out is None else out
+
+
 def run_fixpoint(
     edges: DataFrame,
     rules: list[Rule],
@@ -148,9 +222,16 @@ def run_fixpoint(
     semi_naive: bool = True,
     max_iter: int = 100,
     fuse: bool = True,
+    wrong_facts: DataFrame | None = None,
 ) -> FixpointResult:
     """Saturate ``edges`` (string or long ids — any equality-joinable type)
-    under ``rules``; then evaluate ``contradiction_rules`` once."""
+    under ``rules``; then evaluate ``contradiction_rules`` once.
+
+    ``wrong_facts``: triples asserted with prob < 0.5 ("known to be wrong",
+    network.hpp:65-94). They participate in the input ``edges`` like any
+    fact (reference-verified: unification ignores probabilities) but any
+    rule firing that re-deduces one is reported as a contradiction instead
+    of a deduction (reasoning_deduce.cpp:289-292)."""
     import shutil
     import tempfile
 
@@ -179,7 +260,7 @@ def run_fixpoint(
     try:
         return _run_fixpoint_inner(
             edges, rules, contradiction_rules, semi_naive, max_iter, scratch,
-            fuse,
+            fuse, wrong_facts,
         )
     finally:
         for k, v in old.items():
@@ -191,7 +272,8 @@ def run_fixpoint(
 
 
 def _run_fixpoint_inner(
-    edges, rules, contradiction_rules, semi_naive, max_iter, scratch, fuse
+    edges, rules, contradiction_rules, semi_naive, max_iter, scratch, fuse,
+    wrong_facts=None,
 ) -> FixpointResult:
     spark = edges.sparkSession
     base = edges.select(*EDGE_COLS).dropDuplicates(EDGE_COLS).localCheckpoint()
@@ -336,6 +418,12 @@ def _run_fixpoint_inner(
     contradictions = evaluate_contradictions(
         full, contradiction_rules or [], present_preds=present
     )
+    if wrong_facts is not None:
+        contradictions = contradictions.unionByName(
+            deduced_wrong_contradictions(
+                full, rules, wrong_facts, present_preds=present
+            )
+        )
     deduced = full.join(base, on=EDGE_COLS, how="left_anti")
     return FixpointResult(
         edges=full,
