@@ -51,6 +51,16 @@ def run_e2e_pipeline(
     if n_docs is None:
         n_docs = max(2000, int(200_000 * sf))
     docs = datagen.synthetic_corpus(spark, n_docs=n_docs, seed=42)
+    pregen_dir = None
+    if os.environ.get("ZELPH_PREGEN_CORPUS") == "1":
+        # Pre-generate the corpus to parquet UNTIMED and time the pipeline
+        # over the parquet scan only — the deployment shape (inputs are
+        # Iceberg/parquet tables, not a generator) and the honest
+        # construction-throughput number; default off so e2e stays
+        # comparable with earlier rounds' generation-inclusive timings.
+        pregen_dir = tempfile.mkdtemp(prefix="zelph_corpus_")
+        docs.write.mode("overwrite").parquet(f"{pregen_dir}/docs")
+        docs = spark.read.parquet(f"{pregen_dir}/docs")
     # ZELPH_SCALE_STORE=0: in-memory stage checkpoints instead of parquet —
     # isolates compute scaling from the sandbox's single local disk (a real
     # cluster's object store scales with executors; /tmp does not)
@@ -68,6 +78,8 @@ def run_e2e_pipeline(
     finally:
         if root:
             shutil.rmtree(root, ignore_errors=True)
+        if pregen_dir:
+            shutil.rmtree(pregen_dir, ignore_errors=True)
     fx = res.counters.get("fixpoint_log", [])
     return {
         "sec": dt,

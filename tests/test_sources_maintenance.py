@@ -138,3 +138,32 @@ def test_mermaid_sink_neighborhood_capped(spark, tmp_path):
     assert out.exists()
     assert "graph LR" in html and "focus node" in html
     assert html.count("-->") == 5
+
+
+def test_csv_json_fact_import(spark, tmp_path):
+    """S9: CSV/JSON fact import is Spark's built-in readers feeding the
+    standard edge shape (the reference imports delimited fact files through
+    its script frontend; here the same triples land via spark.read and are
+    immediately usable by the reasoning layer)."""
+    csv_path = tmp_path / "facts.csv"
+    csv_path.write_text(
+        "subj,pred,obj\nQ1,P279,Q2\nQ2,P279,Q3\n"
+    )
+    json_path = tmp_path / "facts.jsonl"
+    json_path.write_text(
+        '{"subj": "Q3", "pred": "P279", "obj": "Q4"}\n'
+        '{"subj": "P279", "pred": "P31", "obj": "Q18647515"}\n'
+    )
+    csv_df = spark.read.option("header", True).csv(str(csv_path))
+    json_df = spark.read.json(str(json_path)).select("subj", "pred", "obj")
+    edges = csv_df.unionByName(json_df)
+    assert edges.count() == 4
+
+    from zelph_spark import rules as Rz
+    from zelph_spark.reasoning import run_fixpoint
+
+    res = run_fixpoint(edges, Rz.wikidata_rules())
+    got = {(r.subj, r.pred, r.obj) for r in res.edges.collect()}
+    # transitive lift across the two sources proves the imported facts are
+    # first-class: Q1 reaches Q4 only via CSV + JSON rows combined
+    assert ("Q1", "P279", "Q4") in got

@@ -71,25 +71,34 @@ def connected_components(
         l2 = new_labels.select(
             F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
         )
-        jumped = (
-            new_labels.join(l2, new_labels.comp == l2.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
-                ).alias("comp"),
+        jumped = new_labels.join(l2, new_labels.comp == l2.p_node, "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # convergence check rides the checkpoint job as an Observation
+        # metric (same discipline as the fixpoint's delta write): joining
+        # the old labels into the plan costs less than the extra
+        # changed-count action per round it replaces
+        from pyspark.sql import Observation
+
+        old = labels.select(
+            F.col("node").alias("o_node"), F.col("comp").alias("o_comp")
+        )
+        obs = Observation()
+        labels = (
+            jumped.join(old, jumped.node == old.o_node)
+            .observe(
+                obs,
+                F.max(
+                    (F.col("comp") != F.col("o_comp")).cast("int")
+                ).alias("changed"),
             )
+            .select("node", "comp")
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        if not obs.get["changed"]:
             break
     return labels
 
