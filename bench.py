@@ -169,7 +169,14 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
     qs = entrymod.queries()
     names = HEADLINE + ["e2e_pipeline"]
     passes: list[dict] = []
+    # Degraded-host guard: min-of-N is worthless if the run gets killed by
+    # an outer timeout before printing its JSON. Stop adding passes once
+    # half the budget is spent — one flagged pass beats no artifact.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    bench_t0 = time.time()
     for _ in range(n_passes):
+        if passes and time.time() - bench_t0 > budget / 2:
+            break
         probes = [_host_probe(spark, INTERLEAVE_PROBE_ROWS)]
         qt: dict[str, float] = {}
         e2e = None
@@ -185,6 +192,8 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
             probes.append(_host_probe(spark, INTERLEAVE_PROBE_ROWS))
         passes.append({"queries": qt, "probes": probes, "e2e": e2e})
 
+    requested_passes = n_passes
+    n_passes = len(passes)
     all_probes = sorted(p for ps in passes for p in ps["probes"])
     best_probe = all_probes[0]
     median_probe = all_probes[len(all_probes) // 2]
@@ -212,6 +221,11 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
                 f"{name}: best-of-{n_passes} measured in a degraded window "
                 f"(probes {before}/{after} s vs run-median {median_probe} s)"
             )
+    if n_passes < requested_passes:
+        flags.append(
+            f"budget guard: only {n_passes}/{requested_passes} passes ran "
+            f"(pass 1 exceeded half of the {budget:.0f}s budget)"
+        )
     if median_probe > PROBE_HEALTHY_MAX:
         flags.append(
             f"entire run degraded: median interleaved probe {median_probe} s "

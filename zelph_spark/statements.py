@@ -265,8 +265,12 @@ def drop_deprecated_statements(statements: DataFrame) -> DataFrame:
     """Remove every row of statements whose statement node carries
     ``wikibase:rank wikibase:DeprecatedRank`` — the relational form of the
     paper query's ``MINUS { ?l wikibase:rank wikibase:DeprecatedRank }``
-    (test_wikidata_qualifiers.cpp:158).  Deprecated statements are a tiny
-    fraction of a dump, so the anti-join build side stays broadcastable."""
+    (test_wikidata_qualifiers.cpp:158).  Deprecated statements are a small
+    fraction of a dump but NOT a bounded one (~1% of 1.5B statements is
+    tens of millions of rows), so the build side is left to AQE: it
+    broadcasts when the runtime size allows and falls back to a shuffled
+    anti-join on the statement id otherwise — never an unconditional
+    broadcast of an unbounded set."""
     dep = (
         statements.filter(
             (F.col("pred") == "wikibase:rank")
@@ -278,9 +282,7 @@ def drop_deprecated_statements(statements: DataFrame) -> DataFrame:
     out = statements
     for side in ("subj", "obj"):
         d = dep.withColumnRenamed("stmt", f"_dep_{side}")
-        out = out.join(
-            F.broadcast(d), out[side] == d[f"_dep_{side}"], "left_anti"
-        )
+        out = out.join(d, out[side] == d[f"_dep_{side}"], "left_anti")
     return out
 
 
