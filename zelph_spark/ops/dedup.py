@@ -196,6 +196,7 @@ def minhash_verified_pairs(
     num_hashes: int = 64,
     bands: int = 32,
     threshold: float = 0.5,
+    reuse: str = "cache",
 ) -> DataFrame:
     """MinHash+LSH blocking with EXACT Jaccard verification: (a, b, jaccard
     >= threshold), a < b. The LSH banding only generates candidates; every
@@ -206,10 +207,16 @@ def minhash_verified_pairs(
     (1 - J^2)^32 <= 1e-4). This is the scale shape: candidates come from an
     equi-join on (band, bucket), the verify join touches candidate pairs
     only, never all pairs."""
-    # NOTE: shingles feeds four branches; measured at sf0.1, re-deriving the
-    # explode per branch from the parquet scan beats a localCheckpoint here
-    # (the checkpoint hides size stats from AQE and the verify join loses
-    # its broadcast).
+    # shingles feeds four branches (signatures, verify join x2, sizes).
+    # reuse="cache" persists the explode once while KEEPING the logical
+    # plan, so AQE still sees real size stats and the verify join keeps its
+    # broadcast (measured 2x at sf0.1; a localCheckpoint loses the stats
+    # and the broadcast — that variant measured slower than recompute).
+    # reuse="recompute" is the extreme-scale escape hatch: when the
+    # exploded shingle set is a multiple of a 100 TB input, re-deriving it
+    # from the columnar scan can beat spilling the cache to executor disks.
+    if reuse == "cache":
+        shingles = shingles.cache()
     sig = minhash_signatures(shingles, key=key, num_hashes=num_hashes)
     # banding recall is tuned for >= threshold, but it also admits ~8% of
     # random low-similarity pairs (2-row bands match with prob J^2 PER band);
