@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame, functions as F
 from . import query as Q
 from .closure import (
     closure_with_start,
-    path_sequence,
     transitive_closure,
     transitive_sources,
     transitive_targets,
@@ -423,9 +422,19 @@ def _edges_for_path(edges: DataFrame, pred: str, memo: dict) -> DataFrame:
     if pred in memo:
         return memo[pred]
     if PATH_SEP in pred:
-        out = path_sequence(
-            [_edges_for_path(edges, p, memo) for p in pred.split(PATH_SEP)]
-        )
+        # Chain left-to-right so a '*' element can build its zero-length
+        # pairs over the ACTUAL input domain (the previous elements' range)
+        # instead of only over nodes present in its predicate slice —
+        # closure_with_start's identity set is slice-scoped, which silently
+        # dropped intermediates with no edges in the '*' predicate.  A '*'
+        # as the FIRST element keeps slice-domain identity (the subject
+        # domain is unknown in unseeded evaluation; the bound-end case goes
+        # through _seeded_sequence_pairs instead).
+        parts = pred.split(PATH_SEP)
+        acc = _edges_for_path(edges, parts[0], memo)
+        for el in parts[1:]:
+            acc = _chain_step(edges, acc, el, memo)
+        out = acc
     else:
         mod = pred[-1] if pred[-1] in "+*" else ""
         name = pred.rstrip("+*")
@@ -440,6 +449,30 @@ def _edges_for_path(edges: DataFrame, pred: str, memo: dict) -> DataFrame:
     return out
 
 
+def _chain_step(
+    edges: DataFrame, acc: DataFrame, el: str, memo: dict
+) -> DataFrame:
+    """Join one sequence element onto accumulated (subj, obj) pairs.
+    ``p*`` = zero hops (keep the row) ∪ the '+' closure extension — identity
+    over the input domain, matching the reference's per-solution evaluation
+    (sparql.zph:792-811 chains elements against the current solution)."""
+    if el.endswith("*"):
+        plus = _edges_for_path(edges, el[:-1] + "+", memo)
+        right = plus.select(F.col("subj").alias("_rs"), F.col("obj").alias("_ro"))
+        ext = (
+            acc.join(right, acc["obj"] == right["_rs"])
+            .select("subj", F.col("_ro").alias("obj"))
+        )
+        return acc.select("subj", "obj").unionByName(ext).distinct()
+    nxt = _edges_for_path(edges, el, memo)
+    right = nxt.select(F.col("subj").alias("_rs"), F.col("obj").alias("_ro"))
+    return (
+        acc.join(right, acc["obj"] == right["_rs"])
+        .select("subj", F.col("_ro").alias("obj"))
+        .distinct()
+    )
+
+
 def _seeded_path_pairs(
     edges: DataFrame, pred: str, seeds: DataFrame, forward: bool, memo: dict
 ) -> DataFrame:
@@ -452,6 +485,15 @@ def _seeded_path_pairs(
     name = pred.rstrip("+*")
     base = _path_slice(edges, name, memo)
     start = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    if not mod:
+        # plain element inside a seeded sequence: a single hop from the
+        # seed set, not a closure
+        key = "subj" if forward else "obj"
+        return (
+            base.join(start, base[key] == start["node"])
+            .select("subj", "obj")
+            .distinct()
+        )
     include_start = mod == "*"
     if forward:
         out = transitive_targets(
@@ -464,6 +506,53 @@ def _seeded_path_pairs(
         base, start, include_start=include_start, prepared=True
     )
     return out.select(F.col("node").alias("subj"), F.col("start").alias("obj"))
+
+
+def _seeded_sequence_pairs(
+    edges: DataFrame, pred: str, seeds: DataFrame, forward: bool, memo: dict
+) -> DataFrame:
+    """Bound-end SEQUENCE path: thread the seed cone through the elements
+    (left-to-right when the subject end is bound, right-to-left otherwise)
+    so each element traverses only the previous element's frontier instead
+    of materializing its full-graph closure (the reference binds path ends
+    per solution for every path shape, sparql.zph:652-811; r3 gave simple
+    ``p+``/``p*`` steps this treatment, this extends it to sequences).
+    A '*' element contributes zero-length pairs over the current frontier
+    domain via include_start — the seeded fix for closure_with_start's
+    slice-scoped identity.  Returns (subj, obj) pairs restricted to the
+    cone."""
+    parts = pred.split(PATH_SEP)
+    if not forward:
+        parts = list(reversed(parts))
+    acc = None
+    for el in parts:
+        if acc is None:
+            step_seeds = seeds
+        else:
+            inner = "obj" if forward else "subj"
+            step_seeds = acc.select(F.col(inner).alias("node")).distinct()
+        step = _seeded_path_pairs(edges, el, step_seeds, forward, memo)
+        if acc is None:
+            acc = step
+        elif forward:
+            right = step.select(
+                F.col("subj").alias("_rs"), F.col("obj").alias("_ro")
+            )
+            acc = (
+                acc.join(right, acc["obj"] == right["_rs"])
+                .select("subj", F.col("_ro").alias("obj"))
+                .distinct()
+            )
+        else:
+            left = step.select(
+                F.col("subj").alias("_ls"), F.col("obj").alias("_lo")
+            )
+            acc = (
+                left.join(acc, F.col("_lo") == acc["subj"])
+                .select(F.col("_ls").alias("subj"), "obj")
+                .distinct()
+            )
+    return acc
 
 
 def _bound_vars(node) -> set[str]:
@@ -517,7 +606,7 @@ def _eval(node, edges: DataFrame, ctx: DataFrame | None = None,
             simple = PATH_SEP not in p
             mod = p[-1] if p[-1] in "+*" else ""
             s_const, o_const = not s.startswith("?"), not o.startswith("?")
-            if simple and mod and (
+            if (not simple or mod) and (
                 s_const or o_const or is_bound(s) or is_bound(o)
             ):
                 # Q12 seeded evaluation: at least one end is a constant or
@@ -536,7 +625,12 @@ def _eval(node, edges: DataFrame, ctx: DataFrame | None = None,
                 else:
                     seeds = sols.select(o[1:])
                     forward = False
-                pairs = _seeded_path_pairs(edges, p, seeds, forward, memo)
+                if simple:
+                    pairs = _seeded_path_pairs(edges, p, seeds, forward, memo)
+                else:
+                    pairs = _seeded_sequence_pairs(
+                        edges, p, seeds, forward, memo
+                    )
             else:
                 if (
                     p.endswith("*") and simple
@@ -644,6 +738,17 @@ def _is_path(p: str) -> bool:
 
 
 def _bind_pair(pairs: DataFrame, s: str, o: str) -> DataFrame:
+    if s.startswith("?") and s == o:
+        # ?x p+ ?x — cycle membership: intra-row subj == obj filter and ONE
+        # output column, mirroring bind_condition's repeated-variable
+        # handling for plain triples (compiler.py:50-57).  Without this,
+        # both ends alias to the same column name and column resolution
+        # fails with AMBIGUOUS_REFERENCE.
+        return (
+            pairs.filter(F.col("subj") == F.col("obj"))
+            .select(F.col("subj").alias(s[1:]))
+            .distinct()
+        )
     cols = []
     out = pairs
     if s.startswith("?"):
