@@ -726,3 +726,46 @@ def test_deduced_known_wrong_contradiction_parity(spark, oracle_bin, tmp_path):
     assert len(rows) == 1
     assert rows[0].rule_id == "r#deduced-wrong"
     assert rows[0].bindings == {"X": "Q1", "Y": "Q2"}
+
+
+def test_naf_rule_deduced_known_wrong_contradiction_parity(
+    spark, oracle_bin, tmp_path
+):
+    """Probability semantics (c), closing ADVICE r3 #2: the per-deduction
+    known-wrong check (reasoning_deduce.cpp:289-292) runs for NAF rules
+    too — a rule with a negated condition whose firing re-deduces a
+    prob<0.1 fact raises a contradiction exactly like a positive-only rule.
+    deduced_wrong_contradictions previously skipped rules with negated
+    conditions silently."""
+    facts = {("Q1", "P50", "Q2"), ("Q1", "P60", "Q2", 0.1)}
+    # X P50 Y AND NOT (X P70 Y) => X P60 Y ; P70 is empty so the rule fires
+    rule = Rz.R(
+        "r",
+        [Rz.P("?X", "P50", "?Y"), Rz.P("?X", "P70", "?Y")],
+        [Rz.P("?X", "P60", "?Y")],
+        negated=(1,),
+    )
+
+    r = _run_oracle(oracle_bin, tmp_path, _dsl(facts, [rule]))
+    assert r.returncode == 0, r.stderr[-800:]
+    triples, probs, n_contra = _parse_dump(r)
+    assert n_contra == 1
+    assert probs[("Q1", "P60", "Q2")] == [0.1]  # not upgraded
+
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("Q1", "P50", "Q2"), ("Q1", "P60", "Q2")],
+            columns=["subj", "pred", "obj"],
+        )
+    )
+    wrong = spark.createDataFrame(
+        pd.DataFrame([("Q1", "P60", "Q2")], columns=["subj", "pred", "obj"])
+    )
+    res = run_fixpoint(edges, [rule], wrong_facts=wrong)
+    assert res.n_deduced == 0
+    rows = res.contradictions.collect()
+    assert len(rows) == 1
+    assert rows[0].rule_id == "r#deduced-wrong"
+    assert rows[0].bindings == {"X": "Q1", "Y": "Q2"}

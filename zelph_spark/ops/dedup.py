@@ -236,7 +236,7 @@ def minhash_verified_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.select(F.col(key).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(key).alias("b"), F.col("sz").alias("szb")), "b")
         .select(
@@ -248,6 +248,14 @@ def minhash_verified_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if reuse == "cache":
+        # materialize the (small) verified-pairs result, then release the
+        # cached shingle partitions — a long-lived session (bench runs every
+        # query multiple passes) otherwise accumulates dead cache entries in
+        # executor memory/disk across calls
+        out = out.localCheckpoint()
+        shingles.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, col: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:

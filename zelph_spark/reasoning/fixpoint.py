@@ -168,7 +168,12 @@ def deduced_wrong_contradictions(
         return empty
     outs = []
     for rule in rules:
-        if rule.negated or not rule.consequences:
+        # NAF rules are checked too: the reference's per-deduction wrong-fact
+        # check (reasoning_deduce.cpp:289-292) runs for every firing
+        # regardless of how the bindings were produced, and compile_rule_body
+        # already lowers negated conditions to anti-joins (parity:
+        # test_reference_oracle.py naf-deduced-wrong case)
+        if not rule.consequences:
             continue
         if not _rule_can_fire(rule, present_preds):
             continue
