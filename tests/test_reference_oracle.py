@@ -769,3 +769,65 @@ def test_naf_rule_deduced_known_wrong_contradiction_parity(
     assert len(rows) == 1
     assert rows[0].rule_id == "r#deduced-wrong"
     assert rows[0].bindings == {"X": "Q1", "Y": "Q2"}
+
+
+def test_drop_cluster_later_outside_fact_parity(spark, oracle_bin, tmp_path):
+    """drop_cluster destructive semantics (ADVICE r3 medium): membership is
+    recorded at node-CREATION time (network.hpp:679-692), and dropping the
+    cluster removes recorded nodes with ALL their edges — including a fact
+    asserted LATER in the default workspace that references a
+    cluster-created node (zelph_maintenance.cpp:162-181 remove_node).
+
+    Reference run (compiled binary): Q10/P71/Q11 are created inside the
+    cluster; (Q1 P70 Q10) is asserted after deactivation.  The drop removes
+    5 recorded nodes; the later outside fact loses its object edge and
+    survives only as a degenerate dangling decode (Q1 P70 Q1) — the
+    relational model drops the destroyed row outright, so parity is on the
+    well-formed triple set."""
+    dsl = (
+        "lang wikidata\n"
+        "fact Q1 P70 Q2\n"
+        "cluster exp\n"
+        "fact Q10 P71 Q11\n"
+        "nocluster\n"
+        "fact Q1 P70 Q10\n"
+        "dropcluster exp\n"
+        "dump\n"
+        "listclusters\n"
+    )
+    r = _run_oracle(oracle_bin, tmp_path, dsl)
+    assert r.returncode == 0, r.stderr[-800:]
+    ref_triples, _probs, _ = _parse_dump(r)
+    assert "DROPPED 5" in r.stderr
+    # the cluster fact AND the later outside fact are gone; the dangling
+    # decode artifact (Q1 P70 Q1) is the reference's remove_node residue
+    assert ref_triples == {("Q1", "P70", "Q2"), ("Q1", "P70", "Q1")}
+    clusters_body = r.stdout.split("===CLUSTERS===")[1].split(
+        "===ENDCLUSTERS==="
+    )[0]
+    assert clusters_body.strip() == ""
+
+    from zelph_spark import clusters as cmod
+
+    import pandas as pd
+
+    def df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+        )
+
+    edges, mem = cmod.assert_batch(
+        df([("Q1", "P70", "Q2")]), df([("Q1", "P70", "Q2")])
+    )
+    edges, mem = cmod.assert_batch(
+        edges, df([("Q10", "P71", "Q11")]), cluster="exp", membership=mem
+    )
+    edges, mem = cmod.assert_batch(
+        edges, df([("Q1", "P70", "Q10")]), membership=mem
+    )
+    kept, _, mem2 = cmod.drop_cluster(edges, "exp", membership=mem)
+    got = {(x.subj, x.pred, x.obj) for x in kept.collect()}
+    # well-formed parity: reference set minus its dangling-decode artifact
+    assert got == {("Q1", "P70", "Q2")}
+    assert cmod.list_clusters(kept).count() == 0
+    assert mem2.count() == 0

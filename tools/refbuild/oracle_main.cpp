@@ -285,6 +285,26 @@ int main(int argc, char** argv)
                 // name merges the nodes (zelph_names.cpp merge_on_conflict;
                 // Network::merge reconciles edge probabilities)
                 Z->set_name(resolve(t[1], nullptr), t[2], Z->lang(), true);
+            else if (cmd == "cluster" && t.size() == 2)
+                // named workspace on: nodes created from here on are
+                // recorded (network.hpp:675-692)
+                Z->set_active_cluster(t[1]);
+            else if (cmd == "nocluster" && t.size() == 1)
+                Z->deactivate_cluster();
+            else if (cmd == "dropcluster" && t.size() == 2)
+                // destructive: removes recorded nodes + ALL their edges
+                // (zelph_maintenance.cpp:162-181)
+                std::cerr << "DROPPED " << Z->drop_cluster(t[1]) << "\n";
+            else if (cmd == "mergecluster" && (t.size() == 2 || t.size() == 3))
+                // to == "" merges into the default workspace
+                Z->merge_cluster(t[1], t.size() == 3 ? t[2] : "");
+            else if (cmd == "listclusters")
+            {
+                std::cout << "===CLUSTERS===\n";
+                for (auto& [nm, n] : Z->list_clusters())
+                    std::cout << nm << '\t' << n << '\n';
+                std::cout << "===ENDCLUSTERS===" << std::endl;
+            }
             else if (cmd == "run")
                 // print deductions, no markdown, no repetition suppression
                 Z->run(true, false, false, false);
