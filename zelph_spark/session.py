@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Stock skewedPartitionFactor (5.0) misses hub-key skew: detection
+        # runs on COMPRESSED shuffle bytes, and a hub partition (one
+        # repeated join key, e.g. P31->QHUB holding 50% of instance edges)
+        # compresses ~7x better than uniform partitions, deflating a 30x
+        # row skew to ~4x in bytes — under the stock factor. Measured in
+        # tools/skew_demo.py (16M edges: split 3.67s vs missed 6.08s);
+        # the byte THRESHOLD keeps its 256MB default, so only genuinely
+        # large partitions are ever split at cluster scale.
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("ZELPH_SPARK_DRIVER_MEM", "48g"))
