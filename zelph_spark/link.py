@@ -9,16 +9,21 @@ probability column (``reasoning_deduce.cpp:256-261``).
 
 Plan shape (SURVEY.md §2.9 N3 / §7 M3): mentions ⋈ broadcast(dictionary)
 on the exact surface (a broadcast hash join — the dictionary is the small
-dimension side), then one window per mention site keeps the best candidate:
-longest surface first (maximal-munch), then highest prior, then smallest qid
-for determinism. At 100 TB the mentions side is huge but never shuffled —
-the broadcast join and the window partition by (doc_id, pos) both hash on
-mention-site keys that are near-unique, so there is no hub skew here.
+dimension side), then one ``min(struct(...))`` aggregate per mention site
+keeps the best candidate: longest surface first (maximal-munch), then
+highest prior, then smallest qid for determinism. The aggregate replaces the
+earlier ``row_number`` window: a window must shuffle EVERY candidate row on
+(doc_id, pos) and sort each partition, while the hash aggregate collapses
+the ~n-grams-per-token fan-out map-side (partial_min before the exchange),
+so the shuffle carries ~one row per mention site instead of one per
+candidate. Candidates for one site are produced by one mapper (the n-gram
+explode is per-document), so the map-side combine removes essentially the
+whole fan-out. No hub skew either way — (doc_id, pos) is near-unique.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 MENTION_PRED = "zelph:mentions"
 
@@ -41,14 +46,33 @@ def link_mentions(
     )
     # One winner per mention *site* (doc, token position): maximal munch,
     # then prior, then qid for deterministic ties (FIXTURES.md §2).
-    site = Window.partitionBy("doc_id", "pos").orderBy(
-        F.length("surface").desc(), F.col("prior").desc(), F.col("qid").asc()
-    )
+    # min(struct) with inverted numeric keys == that ordering's first row;
+    # the payload columns ride along after the keys. The ordering key
+    # (length, prior, qid) is unique per site — a site has exactly one
+    # surface per n-gram length and src_entity is per-document — so ties
+    # past qid are between identical rows and the pick is deterministic.
+    best_struct = F.min(
+        F.struct(
+            (-F.length("surface")).alias("neg_len"),
+            (-F.col("prior")).alias("neg_prior"),
+            F.col("qid").alias("qid"),
+            F.col("surface").alias("surface"),
+            F.col("src_entity").alias("src_entity"),
+            F.col("prior").alias("prior"),
+        )
+    ).alias("w")
     best = (
-        cands.withColumn("rn", F.row_number().over(site))
-        .filter((F.col("rn") == 1) & (F.col("prior") >= threshold))
-        .drop("rn")
-        .withColumnRenamed("prior", "score")
+        cands.groupBy("doc_id", "pos")
+        .agg(best_struct)
+        .select(
+            "doc_id",
+            F.col("w.src_entity").alias("src_entity"),
+            F.col("w.surface").alias("surface"),
+            "pos",
+            F.col("w.qid").alias("qid"),
+            F.col("w.prior").alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
     )
     return best.select("doc_id", "src_entity", "surface", "pos", "qid", "score")
 
