@@ -71,19 +71,29 @@ def auto_type_predicates(triples: DataFrame) -> DataFrame:
     )
 
 
-def build_names(triples: DataFrame, labels: DataFrame) -> DataFrame:
+def build_names(
+    triples: DataFrame, labels: DataFrame, extra_names: DataFrame | None = None
+) -> DataFrame:
     """names(node long, lang string, name string): every node keeps its
-    wikidata-lang QID name; label rows add the ``en`` names."""
-    qids = (
+    wikidata-lang QID name; label rows add the ``en`` names.
+
+    ``extra_names`` (one ``name`` string column, e.g. rule constants that may
+    not appear in any triple) rides the SAME distinct as the role
+    projections — keeping the table duplicate-free costs one dedup shuffle
+    total, not a second full-table pass after a tiny union. The two output
+    branches cannot collide with each other (disjoint ``lang`` values), so
+    no outer dedup is needed."""
+    pool = (
         triples.select(F.col("subj").alias("name"))
         .union(triples.select("pred"))
         .union(triples.select("obj"))
-        .distinct()
-        .select(
-            nid(F.col("name")).alias("node"),
-            F.lit(WIKIDATA_LANG).alias("lang"),
-            "name",
-        )
+    )
+    if extra_names is not None:
+        pool = pool.union(extra_names.select(F.col("name")))
+    qids = pool.distinct().select(
+        nid(F.col("name")).alias("node"),
+        F.lit(WIKIDATA_LANG).alias("lang"),
+        "name",
     )
     en = labels.select(
         nid(F.col("node")).alias("node"), "lang", "name"

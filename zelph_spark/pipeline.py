@@ -155,26 +155,24 @@ def run_pipeline(
     rules_pos = Rz.wikidata_rules()
     rules_con = Rz.wikidata_contradiction_rules() + list(constraint_rules or [])
     consts = sorted(Rz.rule_constants(rules_pos + rules_con))
+    consts_df = spark.createDataFrame([(c,) for c in consts], "name string")
     cmap = {
         r.name: r.node
-        for r in spark.createDataFrame([(c,) for c in consts], "name string")
-        .select("name", graph.nid(F.col("name")).alias("node"))
-        .collect()
+        for r in consts_df.select(
+            "name", graph.nid(F.col("name")).alias("node")
+        ).collect()
     }
-    const_names = spark.createDataFrame(
-        [(cmap[c], graph.WIKIDATA_LANG, c) for c in consts],
-        "node long, lang string, name string",
-    )
+    # rule-constant names ride build_names' single dedup (extra_names) —
+    # no second full-table dropDuplicates after the union. relabel_column
+    # may collapse two labelled nodes onto one canon; build_names' en-side
+    # dedup owns that case.
     names = stage(
         "names",
         lambda: graph.build_names(
             with_types,
-            canon.relabel_column(labels, "node", merge_map).dropDuplicates(
-                ["node", "lang", "name"]
-            ),
-        )
-        .unionByName(const_names)
-        .dropDuplicates(["node", "lang", "name"]),
+            canon.relabel_column(labels, "node", merge_map),
+            extra_names=consts_df,
+        ),
     )
     nodes = graph.build_nodes(edges)
 
