@@ -38,6 +38,28 @@ def get_spark(
         # master == "submit": trust the spark-submit launch context (the
         # cluster deployment path — spark-submit --master ... --py-files)
         builder = builder.master(master)
+    # Fixed-size, pre-touched heap (-Xms=-Xmx + AlwaysPreTouch), default
+    # 18g. Root-caused on this guest (BASELINE.md "heap sizing"): letting
+    # G1 grow a 48g-max heap on demand (2G -> 46G committed while only
+    # 6.5G was ever USED) turns the growth into a first-touch page-fault
+    # storm inside the first allocation-heavy stage — /proc/stat showed
+    # 50-86% SYSTEM time for ~2 minutes and a concurrent 10M-row probe
+    # took 238s (vs 2-3s before/after): 32 threads faulting one address
+    # space convoy on mmap_lock, and past ~20G the guest's fault path
+    # collapses outright (bare-JVM pretouch: 8g=1s, 18g=5s, 48g>280s).
+    # An 18g pre-touched heap pays ~5s once at session start and never
+    # faults again; raise ZELPH_SPARK_DRIVER_MEM only with that cliff in
+    # mind. extra_conf may override the driver memory, so the -Xms value
+    # is derived after the merge.
+    driver_mem = os.environ.get("ZELPH_SPARK_DRIVER_MEM", "18g")
+    merged = dict(extra_conf or {})
+    driver_mem = merged.get("spark.driver.memory", driver_mem)
+    pretouch = f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    merged["spark.driver.extraJavaOptions"] = (
+        pretouch + " " + merged["spark.driver.extraJavaOptions"]
+        if "spark.driver.extraJavaOptions" in merged
+        else pretouch
+    )
     builder = (
         builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -56,7 +78,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("ZELPH_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
@@ -66,9 +88,8 @@ def get_spark(
     local_dir = os.environ.get("ZELPH_SPARK_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-    if extra_conf:
-        for k, v in extra_conf.items():
-            builder = builder.config(k, v)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
