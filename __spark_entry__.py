@@ -417,6 +417,137 @@ SELECT k, n FROM (
 )
 
 
+def q_kg_sparql_seq(spark, sf_dir):
+    """Bound-end SEQUENCE property path (Q12, [r4] seeded planner): which
+    customers' classes transitively reach region R1 — ``?x P31/P279+ wd:R1``
+    threads the constant seed right-to-left through the sequence
+    (sparql.zph:652-811), touching only R1's cone instead of the full
+    closure of every element."""
+    from zelph_spark.sparql import sparql
+
+    base = _taxonomy_triples(spark, sf_dir)
+    out = sparql(base, "SELECT ?x WHERE { ?x P31/P279+ wd:R1 . }")
+    return out.select("x").distinct().orderBy("x")
+
+
+ORACLE_KG_SPARQL_SEQ = (
+    _TAXONOMY_ORACLE
+    + """
+SELECT DISTINCT i.subj AS x
+FROM isa i JOIN subplus sp ON i.obj = sp.subj
+WHERE sp.obj = 'R1' ORDER BY x
+"""
+)
+
+
+def q_kg_sparql_cycle(spark, sf_dir):
+    """Same-variable property-path ends (``?x P279+ ?x`` — the cycle idiom,
+    [r4] crash fix): members of the nation 25-cycle are returned, supplier
+    nodes that merely REACH the cycle are not."""
+    from zelph_spark.sparql import sparql
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("subj"),
+        F.lit("P279").alias("pred"),
+        F.concat(F.lit("N"), (F.col("n_nationkey") + 1) % 25).alias("obj"),
+    ).distinct()
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+        F.lit("P279").alias("pred"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+    ).distinct()
+    out = sparql(nat.unionByName(sup), "SELECT ?x WHERE { ?x P279+ ?x . }")
+    return out.select("x").distinct().orderBy("x")
+
+
+ORACLE_KG_SPARQL_CYCLE = """
+WITH e AS (
+  SELECT DISTINCT 'N' || n_nationkey AS subj,
+                  'N' || ((n_nationkey + 1) % 25) AS obj FROM nation
+  UNION
+  SELECT DISTINCT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+), closure AS (
+  WITH RECURSIVE r(s, o) AS (
+    SELECT subj, obj FROM e
+    UNION
+    SELECT r.s, e.obj FROM r JOIN e ON r.o = e.subj
+  ) SELECT s, o FROM r
+)
+SELECT DISTINCT s AS x FROM closure WHERE s = o ORDER BY x
+"""
+
+
+def q_kg_cluster_drop(spark, sf_dir):
+    """Cluster provenance workspaces (network.hpp:675-755, [r4] assert-time
+    membership): default-workspace nation facts, a supplier workspace 'w'
+    whose batch creates the S-nodes, then LATER default-workspace customer
+    facts — some referencing the workspace-created S-nodes. Dropping 'w'
+    destroys its facts AND every later fact touching a recorded node
+    (zelph_maintenance.cpp:162-181); pre-existing and unrelated facts
+    survive. Returns the surviving edge set."""
+    from zelph_spark import clusters
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("subj"),
+        F.lit("P31").alias("pred"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("obj"),
+    ).distinct()
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+        F.lit("P31").alias("pred"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+    ).distinct()
+    cust = _t(spark, sf_dir, "customer")
+    late = cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+        F.lit("P127").alias("pred"),
+        F.concat(F.lit("S"), (F.col("c_custkey") % 10) + 1).alias("obj"),
+    ).distinct().unionByName(
+        cust.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+            F.lit("P31").alias("pred"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("obj"),
+        ).distinct()
+    )
+    empty = spark.createDataFrame([], "subj string, pred string, obj string")
+    membership = clusters.empty_membership(spark)
+    edges, membership = clusters.assert_batch(empty, nat, None, membership)
+    edges, membership = clusters.assert_batch(edges, sup, "w", membership)
+    edges, membership = clusters.assert_batch(edges, late, None, membership)
+    kept, _, _ = clusters.drop_cluster(edges, "w", membership=membership)
+    return kept.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+
+
+ORACLE_KG_CLUSTER_DROP = """
+WITH def1 AS (
+  SELECT DISTINCT 'N' || n_nationkey AS subj, 'P31' AS pred,
+                  'R' || n_regionkey AS obj FROM nation
+), clu AS (
+  SELECT DISTINCT 'S' || s_suppkey AS subj, 'P31' AS pred,
+                  'N' || s_nationkey AS obj FROM supplier
+), late AS (
+  SELECT DISTINCT 'C' || c_custkey AS subj, 'P127' AS pred,
+                  'S' || ((c_custkey % 10) + 1) AS obj FROM customer
+  UNION
+  SELECT DISTINCT 'C' || c_custkey, 'P31', 'N' || c_nationkey FROM customer
+), prior_nodes AS (
+  SELECT subj AS node FROM def1
+  UNION SELECT pred FROM def1 UNION SELECT obj FROM def1
+), members AS (
+  SELECT subj AS node FROM clu
+  UNION SELECT pred FROM clu UNION SELECT obj FROM clu
+  EXCEPT SELECT node FROM prior_nodes
+), remaining AS (
+  SELECT subj, pred, obj FROM def1 UNION SELECT subj, pred, obj FROM late
+)
+SELECT subj, pred, obj FROM remaining r
+WHERE NOT EXISTS (
+  SELECT 1 FROM members m WHERE m.node IN (r.subj, r.pred, r.obj)
+)
+ORDER BY subj, pred, obj
+"""
+
+
 def q_kg_degrees(spark, sf_dir):
     """Degree/cardinality stats (F8): facts per predicate of the derived
     taxonomy graph."""
@@ -992,6 +1123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_statements": q_kg_statements,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_seq": q_kg_sparql_seq,
+        "kg_sparql_cycle": q_kg_sparql_cycle,
+        "kg_cluster_drop": q_kg_cluster_drop,
         "kg_degrees": q_kg_degrees,
         "kg_constraint_contradictions": q_kg_constraint_contradictions,
         "kg_disjointness": q_kg_disjointness,
@@ -1023,6 +1157,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_statements": ORACLE_KG_STATEMENTS,
         "kg_sparql": ORACLE_KG_SPARQL,
         "kg_sparql_subquery": ORACLE_KG_SPARQL_SUBQUERY,
+        "kg_sparql_seq": ORACLE_KG_SPARQL_SEQ,
+        "kg_sparql_cycle": ORACLE_KG_SPARQL_CYCLE,
+        "kg_cluster_drop": ORACLE_KG_CLUSTER_DROP,
         "kg_degrees": ORACLE_KG_DEGREES,
         "kg_constraint_contradictions": ORACLE_KG_CONSTRAINTS,
         "kg_disjointness": ORACLE_KG_DISJOINTNESS,
