@@ -132,3 +132,16 @@ def test_merge_relabels_membership_and_facts(spark):
     # dropping the merged workspace now removes everything it absorbed
     kept, _, _ = clusters.drop_cluster(edges, "two", membership=mem)
     assert _triples(kept) == set()
+
+
+def test_drop_cluster_requires_membership(spark):
+    """ADVICE r4 medium: membership=None must raise, not silently treat the
+    recorded-node set as empty (reference-divergent drop)."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([("Q1", "P1", "Q2", 1.0, "exp")],
+                     columns=["subj", "pred", "obj", "prob", "cluster"])
+    )
+    with _pytest.raises(ValueError, match="membership"):
+        clusters.drop_cluster(edges, "exp")

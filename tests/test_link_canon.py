@@ -117,3 +117,27 @@ def test_probability_reconciliation_matches_reference(spark):
     assert probs["g"] == 0.4
     c = conflicts.collect()
     assert len(c) == 1 and c[0].subj == "e"
+
+
+def test_link_null_prior_loses_to_scored_candidate(spark):
+    """ADVICE r4: a NULL-prior dictionary row must not win its mention site
+    inside the min(struct) ranking (NULL sorts first ascending) and then be
+    discarded by the threshold filter — NULL-prior rows are filtered from
+    the dictionary, matching the old prior.desc()-nulls-last window."""
+    d = spark.createDataFrame(
+        pd.DataFrame([
+            {"surface": "x", "qid": "Q20", "lang": "en", "prior": None},
+            {"surface": "x", "qid": "Q10", "lang": "en", "prior": 0.5},
+            {"surface": "y", "qid": "Q30", "lang": "en", "prior": None},
+        ])
+    )
+    m = spark.createDataFrame(
+        pd.DataFrame([
+            {"doc_id": "D", "src_entity": "Q1", "surface": "x", "pos": 0},
+            {"doc_id": "D", "src_entity": "Q1", "surface": "y", "pos": 1},
+        ])
+    )
+    got = link.link_mentions(m, d).collect()
+    # site 0: the scored candidate wins; site 1 (NULL-only) yields nothing,
+    # exactly as the old NULL score >= threshold filter behaved
+    assert len(got) == 1 and got[0].qid == "Q10" and got[0].pos == 0

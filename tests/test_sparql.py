@@ -375,3 +375,22 @@ def test_star_in_sequence_identity_over_input_domain(spark):
     # seeded (constant subject end): include_start covers the frontier
     out2 = sparql(g, "SELECT ?y WHERE { wd:alice age/likes* ?y . }")
     assert rows(out2) == {("42",)}
+
+
+def test_star_first_in_sequence_zero_hop_domain(spark):
+    """ADVICE r4: a sequence whose FIRST element is 'p*' must include
+    zero-hop subjects that have edges in the REST of the path but none in
+    p — '?x p*/q ?y' ≡ q(x,y) ∪ (p+ ⨝ q), no identity set materialized."""
+    g = _df(
+        spark,
+        [
+            ("alice", "age", "42"),   # alice has NO likes edges at all
+            ("bob", "likes", "alice"),  # bob reaches 42 via one likes hop
+            ("x", "likes", "y"),      # disjoint likes edge, no age
+        ],
+    )
+    out = sparql(g, "SELECT ?x ?y WHERE { ?x likes*/age ?y . }")
+    assert rows(out) == {("alice", "42"), ("bob", "42")}
+    # seeded subject end still goes through the cone path and agrees
+    out2 = sparql(g, "SELECT ?y WHERE { wd:bob likes*/age ?y . }")
+    assert rows(out2) == {("42",)}

@@ -125,12 +125,17 @@ def drop_cluster(
     cluster never recorded it.  Returns (edges', names', membership')."""
     from .maintenance import remove_nodes
 
+    if membership is None:
+        # Without the assert-time membership table the recorded-node set is
+        # unknowable (it is NOT derivable from the surviving edges — drops
+        # must also kill later outside facts referencing recorded nodes).
+        # Silently treating it as empty would be reference-divergent.
+        raise ValueError(
+            "drop_cluster requires the assert-time membership table "
+            "(see record_membership); got membership=None"
+        )
     edges = _with_cluster(edges)
-    doomed = (
-        cluster_nodes(membership, name)
-        if membership is not None
-        else empty_membership(edges.sparkSession).select("node")
-    )
+    doomed = cluster_nodes(membership, name)
     kept = remove_nodes(
         edges.filter(
             F.col("cluster").isNull() | (F.col("cluster") != name)

@@ -39,8 +39,18 @@ def link_mentions(
     dictionary: (surface, qid, lang, prior)         — broadcast side
     returns:    (doc_id, src_entity, surface, pos, qid, score)
     """
+    # NULL-prior dictionary rows are dropped up front: inside min(struct)
+    # an ascending comparison sorts a NULL neg_prior FIRST, so a NULL-prior
+    # candidate would win its mention site and then be discarded by the
+    # score>=threshold filter — losing the site. Filtering here is exactly
+    # the old prior.desc()-nulls-last behavior (a NULL-only site produced a
+    # NULL score and was filtered anyway).
     cands = mentions.join(
-        F.broadcast(dictionary.select("surface", "qid", "prior")),
+        F.broadcast(
+            dictionary.select("surface", "qid", "prior").filter(
+                F.col("prior").isNotNull()
+            )
+        ),
         "surface",
         "inner",
     )

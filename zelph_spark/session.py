@@ -11,7 +11,22 @@ from __future__ import annotations
 
 import os
 
+import re
+
 from pyspark.sql import SparkSession
+
+
+def _jvm_size(mem: str) -> str:
+    """Normalize a Spark memory string to a JVM-legal -Xms token.
+
+    Spark accepts suffixes the JVM rejects ('18gb', '2048mb', bare bytes);
+    -Xms18gb would kill the driver launch. Accepts [0-9]+[kmgt]?b? in any
+    case; anything else raises rather than producing a broken JVM flag.
+    """
+    m = re.fullmatch(r"\s*([0-9]+)\s*([kKmMgGtT]?)[bB]?\s*", mem)
+    if not m:
+        raise ValueError(f"unparseable memory size for -Xms: {mem!r}")
+    return m.group(1) + m.group(2).lower()
 
 
 def get_spark(
@@ -54,7 +69,7 @@ def get_spark(
     driver_mem = os.environ.get("ZELPH_SPARK_DRIVER_MEM", "18g")
     merged = dict(extra_conf or {})
     driver_mem = merged.get("spark.driver.memory", driver_mem)
-    pretouch = f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    pretouch = f"-Xms{_jvm_size(driver_mem)} -XX:+AlwaysPreTouch"
     merged["spark.driver.extraJavaOptions"] = (
         pretouch + " " + merged["spark.driver.extraJavaOptions"]
         if "spark.driver.extraJavaOptions" in merged

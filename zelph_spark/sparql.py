@@ -426,15 +426,28 @@ def _edges_for_path(edges: DataFrame, pred: str, memo: dict) -> DataFrame:
         # pairs over the ACTUAL input domain (the previous elements' range)
         # instead of only over nodes present in its predicate slice —
         # closure_with_start's identity set is slice-scoped, which silently
-        # dropped intermediates with no edges in the '*' predicate.  A '*'
-        # as the FIRST element keeps slice-domain identity (the subject
-        # domain is unknown in unseeded evaluation; the bound-end case goes
-        # through _seeded_sequence_pairs instead).
+        # dropped intermediates with no edges in the '*' predicate.
         parts = pred.split(PATH_SEP)
-        acc = _edges_for_path(edges, parts[0], memo)
-        for el in parts[1:]:
-            acc = _chain_step(edges, acc, el, memo)
-        out = acc
+        if parts[0].endswith("*"):
+            # '?x p*/rest ?y' ≡ rest(x,y) ∪ (p+ ⨝ rest): zero p-hops keep
+            # the rest-path pairs verbatim, so the zero-hop subject domain
+            # is the rest path's own — SPARQL zero-hop semantics without
+            # materializing any identity set (was slice-scoped identity,
+            # which under-returned x nodes with rest edges but no p edges).
+            rest = _edges_for_path(edges, PATH_SEP.join(parts[1:]), memo)
+            plus = _edges_for_path(edges, parts[0][:-1] + "+", memo)
+            right = rest.select(
+                F.col("subj").alias("_rs"), F.col("obj").alias("_ro")
+            )
+            ext = plus.join(right, plus["obj"] == right["_rs"]).select(
+                "subj", F.col("_ro").alias("obj")
+            )
+            out = rest.select("subj", "obj").unionByName(ext).distinct()
+        else:
+            acc = _edges_for_path(edges, parts[0], memo)
+            for el in parts[1:]:
+                acc = _chain_step(edges, acc, el, memo)
+            out = acc
     else:
         mod = pred[-1] if pred[-1] in "+*" else ""
         name = pred.rstrip("+*")
