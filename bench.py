@@ -142,12 +142,56 @@ PROBE_DEGRADED_RATIO = 3.0
 # windows ran the 30M probe at 18-71 s ~ 6-24 s at this size; see
 # BASELINE.md host-degradation log)
 PROBE_HEALTHY_MAX = 8.0
+# standalone fresh-JVM 10M probe (tools/host_probe.py shape) healthy
+# ceiling: measured 2.2-2.7 s in healthy windows, 5.9-14.8 s degraded
+LAUNCH_PROBE_HEALTHY = 4.5
+
+
+def _launch_gate(gate_budget: float) -> tuple[list[float], bool]:
+    """Pre-flight host gate (VERDICT r4 item 2): run the standalone
+    pure-Catalyst probe in a throwaway small-heap JVM and WAIT (bounded)
+    for a healthy window before the bench session ever starts — the r3/r4
+    driver artifacts landed degraded because bench.py certified its numbers
+    after the fact but launched blind.  One probe subprocess at a time
+    (sequential with the bench JVM — two pre-touching JVMs at once hit the
+    guest fault cliff, BASELINE.md "heap sizing")."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, ZELPH_SPARK_DRIVER_MEM="4g", SPARK_GRAFT_CPUS="8")
+    readings: list[float] = []
+    deadline = time.time() + gate_budget
+    while True:
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "host_probe.py")],
+                capture_output=True, text=True, env=env,
+                timeout=max(60.0, gate_budget / 2),
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            sec = float(json.loads(line)["probe_sec"])
+        except Exception:
+            sec = float("inf")  # hung/failed probe IS a degraded reading
+        readings.append(sec)
+        if sec <= LAUNCH_PROBE_HEALTHY:
+            return readings, True
+        # ~25 s per attempt (JVM spin-up + probe); stop when another
+        # attempt cannot fit in the gate budget
+        if time.time() + 45 > deadline:
+            return readings, False
+        time.sleep(20)
 
 
 def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from zelph_spark.session import get_spark
+
+    # Launch gate: bounded wait for a healthy host window (default 120 s —
+    # a quarter of the default bench budget; 0 disables).
+    gate_budget = float(os.environ.get("SPARK_GRAFT_GATE_BUDGET", "120"))
+    launch_probes: list[float] = []
+    launch_healthy = True
+    if gate_budget > 0:
+        launch_probes, launch_healthy = _launch_gate(gate_budget)
 
     spark = get_spark(
         app_name="zelph-bench",
@@ -226,6 +270,12 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
             f"budget guard: only {n_passes}/{requested_passes} passes ran "
             f"(pass 1 exceeded half of the {budget:.0f}s budget)"
         )
+    if not launch_healthy:
+        flags.append(
+            f"launch gate: no healthy window within {gate_budget:.0f}s "
+            f"(standalone probes {launch_probes} s vs healthy "
+            f"<= {LAUNCH_PROBE_HEALTHY} s) — run proceeded degraded"
+        )
     if median_probe > PROBE_HEALTHY_MAX:
         flags.append(
             f"entire run degraded: median interleaved probe {median_probe} s "
@@ -250,6 +300,7 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
         "probe_best_sec": best_probe,
         "probe_median_sec": median_probe,
         "probe_ctx": probe_ctx,
+        "launch_probes": launch_probes,
         "pass_probes": [p["probes"] for p in passes],
         "pass_queries": [p["queries"] for p in passes],
         "host_flags": flags,
@@ -261,6 +312,16 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # Shuffle must stay off /tmp: a sandbox cleaner deletes blockmgr files
+    # from long-running jobs (BASELINE.md round-3 table, FileNotFoundException
+    # shuffle_*.data), and the shared /tmp device serializes executor I/O.
+    # Default to tmpfs when the caller didn't choose; propagates to
+    # --scaling children via the environment.
+    if not os.environ.get("ZELPH_SPARK_LOCAL_DIR") and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        os.environ["ZELPH_SPARK_LOCAL_DIR"] = shm
 
     if "--one-scale" in sys.argv:
         # child process of --scaling: e2e pipeline only, fixed corpus size.
