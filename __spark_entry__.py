@@ -943,9 +943,53 @@ ORDER BY a, b
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs — rows-only check (engine-specific hashing)."""
+    """SimHash near-dup pairs, portable hashing: the per-(token, bit)
+    values come from md5 (bit-identical in Spark and DuckDB), so the full
+    simhash → pigeonhole blocking → exact Hamming verify pipeline is
+    recomputable by the oracle (the xxhash64 production default stays
+    covered by tests/test_ops.py). Blocking has exact recall at the budget,
+    so the engine's pair set equals the oracle's all-pairs filter."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(dedup.simhash(d), max_hamming=6)
+    return dedup.simhash_near_pairs(
+        dedup.simhash(d, portable=True), max_hamming=6
+    )
+
+
+_SIMHASH_BIT_SUMS = ",\n    ".join(
+    "SUM(CASE WHEN (h{w} >> {off}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+        w=1 if i < 32 else 2, off=i % 32, i=i
+    )
+    for i in range(64)
+)
+_SIMHASH_ASSEMBLE = " | ".join(
+    # DuckDB raises on 1::BIGINT << 63 (signed overflow); bit 63 is the
+    # sign bit, i.e. long-min — same value Spark's shiftleft(1L, 63) wraps to
+    "(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0::BIGINT END)"
+    if i == 63
+    else f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+    for i in range(64)
+)
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+  FROM toks
+), sums AS (
+  SELECT doc_id,
+    {_SIMHASH_BIT_SUMS}
+  FROM th GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM sums
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+"""
 
 
 def q_text_stats(spark, sf_dir):
@@ -1040,11 +1084,60 @@ SELECT query_id, neighbor_id, rn FROM ranked WHERE rn <= 5
 
 
 def q_sim_lsh(spark, sf_dir):
-    """Multi-table LSH ANN — rows-only (recall measured vs brute force in
-    tests/test_ops.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Multi-table LSH ANN, oracle-recomputable: the hyperplanes are pure
+    sin/cos arithmetic (similarity._hyperplane — no RNG state), so DuckDB
+    rebuilds the same planes, buckets, candidate set and ranking. Vectors
+    are cast to double on both sides and only ids + rank are emitted
+    (float totals stay out of the hash, as in sim_topk); recall vs brute
+    force stays measured in tests/test_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.topk_lsh(emb, q, k=5, n_planes=8, n_tables=8)
+    out = similarity.topk_lsh(emb, q, k=5, n_planes=8, n_tables=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+ORACLE_SIM_LSH = """
+WITH planes AS (
+  SELECT t.t, i.i,
+         list(sin(0.7*(1000*t.t + i.i) + 0.311*j.j)
+              + cos(1.3*(1000*t.t + i.i) - 0.17*j.j) ORDER BY j.j) AS plane
+  FROM (SELECT unnest(range(8)) AS t) t,
+       (SELECT unnest(range(8)) AS i) i,
+       (SELECT unnest(range(64)) AS j) j
+  GROUP BY t.t, i.i
+), emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), buckets AS (
+  SELECT e.vec_id, p.t AS tbl,
+         SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN (1::BIGINT << p.i) ELSE 0::BIGINT END) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets n ON q.tbl = n.tbl AND q.bucket = n.bucket
+  WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM cand c
+  JOIN emb a ON a.vec_id = c.query_id
+  JOIN emb b ON b.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, rn FROM ranked WHERE rn <= 5
+"""
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -1174,6 +1267,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": ORACLE_SIM_TOPK,
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_hourly": ORACLE_EVENTS_HOURLY,
-        # dedup_simhash / sim_lsh: rows-only by design (engine-specific
-        # hashing; semantics covered by tests/test_ops.py)
+        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "sim_lsh": ORACLE_SIM_LSH,
     }

@@ -52,7 +52,18 @@ def run_e2e_pipeline(
         n_docs = max(2000, int(200_000 * sf))
     docs = datagen.synthetic_corpus(spark, n_docs=n_docs, seed=42)
     pregen_dir = None
-    if os.environ.get("ZELPH_PREGEN_CORPUS") == "1":
+    shared_pregen = os.environ.get("ZELPH_PREGEN_DIR")
+    if shared_pregen:
+        # Shared pre-generated corpus for scaling pairs: generate ONCE (any
+        # core count — generation is untimed either way) and let every
+        # child JVM scan the same parquet. The deterministic generator +
+        # fixed seed make the corpus a function of n_docs, so the path is
+        # keyed by n_docs to prevent a stale-size scan.
+        path = os.path.join(shared_pregen, f"docs_{n_docs}")
+        if not os.path.isdir(path):
+            docs.write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+    elif os.environ.get("ZELPH_PREGEN_CORPUS") == "1":
         # Pre-generate the corpus to parquet UNTIMED and time the pipeline
         # over the parquet scan only — the deployment shape (inputs are
         # Iceberg/parquet tables, not a generator) and the honest

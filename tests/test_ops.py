@@ -189,3 +189,36 @@ def test_multimodal_plumbing(spark, fixture_docs_df):
     cnt = {r[0]: r[1] for r in frames.groupBy("media_ref").count().collect()}
     for ref, dur in vids.items():
         assert cnt[ref] == max(1, dur // 1000)
+
+
+def test_simhash_portable_matches_python_md5_oracle(spark):
+    """portable=True derives per-(token, bit) values from md5 — recompute
+    the full simhash in pure Python and compare exactly (this is what makes
+    the dedup_simhash contract query DuckDB-oracleable)."""
+    import hashlib
+
+    df = spark.createDataFrame(DUP_DOCS)
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df, portable=True).collect()}
+
+    def py_simhash(text):
+        sums = [0] * 64
+        for tok in text.lower().split():
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+            for i in range(64):
+                bit = (h1 >> i if i < 32 else h2 >> (i - 32)) & 1
+                sums[i] += 1 if bit else -1
+        acc = 0
+        for i in range(64):
+            if sums[i] > 0:
+                acc |= 1 << i
+        return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+    for row in DUP_DOCS.itertuples(index=False):
+        assert got[row.doc_id] == py_simhash(row.text), row.doc_id
+
+
+def test_simhash_portable_rejects_wide_bits(spark):
+    df = spark.createDataFrame(DUP_DOCS)
+    with pytest.raises(ValueError, match="64 bits"):
+        dedup.simhash(df, portable=True, bits=128)

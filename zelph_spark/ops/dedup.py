@@ -258,16 +258,46 @@ def minhash_verified_pairs(
     return out
 
 
-def simhash(df: DataFrame, col: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
     """(key, simhash bigint): sign-sum of token-hash bits. Columnar: explode
-    tokens, one sum per bit position, reassemble."""
-    tok = df.select(F.col(key), F.explode(tokens(col)).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
-    )
+    tokens, one sum per bit position, reassemble.
+
+    ``portable=True`` derives the per-(token, bit) values from md5 instead
+    of xxhash64: md5 is bit-identical across engines (Spark, DuckDB,
+    Python), so the resulting simhash — and therefore the near-dup pair set
+    — is recomputable by the DuckDB correctness oracle. The default stays
+    xxhash64 (cheaper: one 64-bit hash vs a cryptographic digest) for
+    production pipelines where cross-engine parity is not needed; blocking
+    and verification are identical either way."""
+    tok = df.select(F.col(key), F.explode(tokens(col)).alias("tok"))
+    if portable:
+        if bits > 64:
+            raise ValueError("portable simhash derives at most 64 bits from md5")
+        # two independent 32-bit words from the md5 hex digest cover 64
+        # bit positions (conv() parses hex; 8 hex chars < 2^32 fit a long)
+        md = F.md5("tok")
+        tok = tok.withColumn(
+            "h1", F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        ).withColumn("h2", F.conv(F.substring(md, 9, 8), 16, 10).cast("long"))
+
+        def _bit(i):
+            src, off = ("h1", i) if i < 32 else ("h2", i - 32)
+            return F.shiftright(src, off).bitwiseAND(F.lit(1)) == 1
+
+    else:
+        tok = tok.withColumn("h", F.xxhash64("tok"))
+
+        def _bit(i):
+            return F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(_bit(i), 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     sums = tok.groupBy(key).agg(*aggs)
