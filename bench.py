@@ -80,6 +80,7 @@ def run_e2e_pipeline(
     try:
         t0 = time.time()
         res = run_pipeline(spark, docs, root, reason=reason)
+        t_pipe = time.time() - t0
         n_edges = res.edges.count()
         # the materialized product is the long-id fact set + names table
         # (both staged eagerly above); res.saturated is the QID-string
@@ -99,8 +100,23 @@ def run_e2e_pipeline(
         "edges": n_edges,
         "saturated": n_sat,
         "stage_secs": res.counters.get("stage_secs", {}),
-        "fixpoint_rounds": len(fx),
-        "fixpoint_secs": round(sum(e.get("sec", 0) for e in fx), 2),
+        # decomposition: dt = stage_sum + fixpoint loop/tail + counts +
+        # unattributed driver residual (plan building, Py4J round-trips)
+        "stage_sum_secs": round(sum(res.counters.get("stage_secs", {}).values()), 2),
+        "count_secs": round(dt - t_pipe, 2),
+        "resid_secs": round(
+            t_pipe
+            - sum(res.counters.get("stage_secs", {}).values())
+            - sum(e.get("sec", 0) for e in fx),
+            2,
+        ),
+        "fixpoint_rounds": len([e for e in fx if "iter" in e]),
+        "fixpoint_secs": round(
+            sum(e.get("sec", 0) for e in fx if "iter" in e), 2
+        ),
+        "fixpoint_tail_secs": round(
+            sum(e.get("sec", 0) for e in fx if "iter" not in e), 2
+        ),
     }
 
 

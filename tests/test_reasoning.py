@@ -215,3 +215,84 @@ def test_query_mode_returns_bindings(spark, fixture_facts):
     )
     rows = {(r.X, r.U) for r in out.collect()}
     assert ("Q100", "Q215627") in rows
+
+
+# ---------------------------------------------------------------------------
+# Transitive-closure acceleration (split_transitive + closure injection)
+# ---------------------------------------------------------------------------
+
+META_TRANS = R(
+    "transitive",
+    [P("?R", "~", "Trans"), P("?X", "?R", "?Y"), P("?Y", "?R", "?Z")],
+    P("?X", "?R", "?Z"),
+)
+
+
+def test_split_transitive_shapes():
+    from zelph_spark.reasoning import split_transitive
+
+    const = R("t-const", [P("?a", "p", "?b"), P("?b", "p", "?c")], P("?a", "p", "?c"))
+    # disqualified: consequence predicate differs / negated / repeated var
+    other = R("plain", [P("?a", "q", "?b")], P("?b", "q2", "?a"))
+    notrans = R(
+        "not-trans", [P("?a", "p", "?b"), P("?b", "p", "?c")], P("?a", "q", "?c")
+    )
+    sp = split_transitive([const, META_TRANS, other, notrans])
+    assert sp.const_preds == {"p"}
+    assert sp.memberships == [("~", "Trans")]
+    assert [r.rule_id for r in sp.rest] == ["plain", "not-trans"]
+    assert split_transitive([other, notrans]) is None
+
+
+def test_transitive_doubling_differential_deep_chain(spark):
+    """Deep chain under the wikidata-style meta-rule: closure injection and
+    the plain loop produce the identical fixpoint (confluence), both match
+    the Datalog oracle, and the accelerated driver loop quiesces in 2
+    rounds (saturate + verify) regardless of chain depth."""
+    depth = 48
+    facts = [(f"n{i:03d}", "p", f"n{i + 1:03d}") for i in range(depth)]
+    facts += [("p", "~", "Trans")]
+    edges = _df(spark, facts)
+    fast = run_fixpoint(edges, [META_TRANS])
+    slow = run_fixpoint(edges, [META_TRANS], transitive_doubling=False)
+    got = _edge_set(fast.edges)
+    assert got == _edge_set(slow.edges)
+    assert got == oracle.stratified_fixpoint(set(map(tuple, facts)), [META_TRANS])
+    assert fast.iterations <= 2
+    assert verify_fixpoint(fast, [META_TRANS])
+
+
+def test_transitive_membership_discovered_mid_fixpoint(spark):
+    """The transitive-predicate SET is data and can grow during the run
+    (e.g. wikidata.zph's transitive-inverse rule): a membership fact
+    deduced in round 1 must trigger closure injection for its predicate."""
+    mark = R("mark", [P("?P", "mark", "yes")], P("?P", "~", "Trans"))
+    depth = 16
+    facts = [(f"m{i:02d}", "p", f"m{i + 1:02d}") for i in range(depth)]
+    facts += [("p", "mark", "yes")]
+    edges = _df(spark, facts)
+    fast = run_fixpoint(edges, [META_TRANS, mark])
+    slow = run_fixpoint(edges, [META_TRANS, mark], transitive_doubling=False)
+    got = _edge_set(fast.edges)
+    assert got == _edge_set(slow.edges)
+    assert got == oracle.stratified_fixpoint(
+        set(map(tuple, facts)), [META_TRANS, mark]
+    )
+    # round 0: mark fires; round 1: p discovered + closed; round 2: quiesce
+    assert fast.iterations <= 3
+    assert ("m00", "p", f"m{depth:02d}") in got
+
+
+def test_transitive_const_shape_differential(spark):
+    part_of = R(
+        "po-trans", [P("?a", "part", "?b"), P("?b", "part", "?c")], P("?a", "part", "?c")
+    )
+    facts = [("w", "part", "x"), ("x", "part", "y"), ("y", "part", "z"),
+             ("q", "other", "w")]
+    edges = _df(spark, facts)
+    fast = run_fixpoint(edges, [part_of])
+    slow = run_fixpoint(edges, [part_of], transitive_doubling=False)
+    got = _edge_set(fast.edges)
+    assert got == _edge_set(slow.edges)
+    assert ("w", "part", "z") in got
+    assert verify_fixpoint(fast, [part_of])

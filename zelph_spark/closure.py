@@ -36,6 +36,7 @@ def transitive_closure(
     method: str = "auto",
     max_iter: int = 64,
     prepared: bool = False,
+    group: tuple = (),
 ) -> DataFrame:
     """All (subj, obj) with a directed path subj ->+ obj ('+' closure).
 
@@ -49,9 +50,17 @@ def transitive_closure(
     ``prepared``: the caller guarantees ``pairs`` is already distinct and
     materialized (the analog of zelph's cached per-predicate index,
     zelph.cpp:44-47) — skip the initial dedup+checkpoint so repeated
-    closures over one slice don't re-materialize it."""
+    closures over one slice don't re-materialize it.
+
+    ``group``: extra key columns (e.g. ``("pred",)``) — paths only compose
+    within a group, so one driver loop closes MANY independent relations at
+    once: per-round job count stays constant in the group count and rounds
+    are log(max diameter over groups). Used by the fixpoint's transitive-
+    predicate acceleration."""
+    group = tuple(group)
+    cols = [*group, *PAIR]
     base = (
-        pairs if prepared else pairs.select(*PAIR).distinct().localCheckpoint()
+        pairs if prepared else pairs.select(*cols).distinct().localCheckpoint()
     )
     reach = base
     frontier = base
@@ -65,14 +74,19 @@ def transitive_closure(
         # base can be the SAME checkpointed plan, and alias-based self-joins
         # hit attribute-reuse resolution failures (key not found: subj#N)
         right = (reach if doubling else base).select(
-            F.col("subj").alias("_rs"), F.col("obj").alias("_ro")
+            *[F.col(g).alias(f"_g_{g}") for g in group],
+            F.col("subj").alias("_rs"),
+            F.col("obj").alias("_ro"),
         )
+        on = left["obj"] == right["_rs"]
+        for g in group:
+            on = on & (left[g] == right[f"_g_{g}"])
         step = (
-            left.join(right, left["obj"] == right["_rs"])
-            .select("subj", F.col("_ro").alias("obj"))
+            left.join(right, on)
+            .select(*group, "subj", F.col("_ro").alias("obj"))
             .distinct()
         )
-        new = step.join(reach, on=PAIR, how="left_anti").localCheckpoint()
+        new = step.join(reach, on=cols, how="left_anti").localCheckpoint()
         if new.isEmpty():
             return reach
         reach = reach.unionByName(new).localCheckpoint()

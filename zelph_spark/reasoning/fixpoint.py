@@ -108,6 +108,93 @@ def _distinct_preds(df: DataFrame) -> set:
     return {r.pred for r in df.select("pred").distinct().collect()}
 
 
+@dataclass
+class TransitiveSplit:
+    """Transitivity rules factored out for closure-slice acceleration."""
+
+    rest: list  # the remaining positive rules (fired normally)
+    const_preds: set  # p from (?a p ?b),(?b p ?c) => (?a p ?c)
+    memberships: list  # (M, t) from the meta shape below
+
+
+def split_transitive(rules: list[Rule]):
+    """Factor transitivity out of a ruleset so the driver can saturate each
+    transitive predicate with :func:`zelph_spark.closure.transitive_closure`
+    (the adaptive linear->doubling strategy) instead of rediscovering paths
+    through the generic rule machinery every round.
+
+    Recognized shapes (anything else stays in ``rest``):
+
+    - const:  ``(?a p ?b), (?b p ?c) => (?a p ?c)`` with constant ``p`` —
+      the predicate is transitive statically;
+    - meta:   ``(?r M t), (?x ?r ?y), (?y ?r ?z) => (?x ?r ?z)`` with
+      constant ``M``/``t`` (wikidata.zph line 36: ``?R ~ transitive``) —
+      the transitive-predicate SET is data: ``{r | (r M t) in facts}`` and
+      can GROW during the fixpoint (e.g. the transitive-inverse rule), so
+      membership is re-resolved from each delta.
+
+    Returns ``None`` when nothing was factored (caller keeps the plain
+    loop). Guards: negation, inequality, extra consequences and fresh
+    variables all disqualify — those need the general path.
+    """
+    rest: list = []
+    const_preds: set = set()
+    memberships: list = []
+    for r in rules:
+        if (
+            r.negated
+            or r.unequals
+            or r.is_contradiction
+            or r.extra_consequences
+            or r.fresh_vars
+        ):
+            rest.append(r)
+            continue
+        cons = r.consequence
+        conds = r.conditions
+        matched = False
+        if len(conds) == 2 and not is_var(conds[0].pred):
+            c1, c2 = conds
+            a, b, c = c1.subj, c1.obj, c2.obj
+            if (
+                c1.pred == c2.pred
+                and c2.subj == b
+                and all(is_var(t) for t in (a, b, c))
+                and len({a, b, c}) == 3
+                and (cons.subj, cons.pred, cons.obj) == (a, c1.pred, c)
+            ):
+                const_preds.add(c1.pred)
+                matched = True
+        elif len(conds) == 3:
+            for mi in range(3):
+                m = conds[mi]
+                chain = [conds[i] for i in range(3) if i != mi]
+                if is_var(m.pred) or is_var(m.obj) or not is_var(m.subj):
+                    continue
+                rv = m.subj
+                for c1, c2 in (chain, chain[::-1]):
+                    x, y, z = c1.subj, c1.obj, c2.obj
+                    if (
+                        c1.pred == rv
+                        and c2.pred == rv
+                        and c2.subj == y
+                        and all(is_var(t) for t in (x, y, z))
+                        and len({x, y, z, rv}) == 4
+                        and (cons.subj, cons.pred, cons.obj) == (x, rv, z)
+                    ):
+                        memberships.append((m.pred, m.obj))
+                        matched = True
+                        break
+                if matched:
+                    break
+        if not matched:
+            rest.append(r)
+    if not const_preds and not memberships:
+        return None
+    return TransitiveSplit(rest=rest, const_preds=const_preds,
+                           memberships=memberships)
+
+
 def _materialize(df: DataFrame, scratch: str | None, name: str) -> DataFrame:
     """Cut lineage AND reset Catalyst size statistics.
 
@@ -228,9 +315,23 @@ def run_fixpoint(
     max_iter: int = 100,
     fuse: bool = True,
     wrong_facts: DataFrame | None = None,
+    transitive_doubling: bool = True,
 ) -> FixpointResult:
     """Saturate ``edges`` (string or long ids — any equality-joinable type)
     under ``rules``; then evaluate ``contradiction_rules`` once.
+
+    ``transitive_doubling``: factor transitivity rules (const and meta
+    shapes, :func:`split_transitive`) out of the per-round machinery and
+    saturate each transitive predicate's slice with the adaptive
+    linear->doubling closure instead. The semi-naive loop ALREADY doubles
+    path length per round (the delta joins the full extent at the other
+    position), so this does not change round asymptotics — it changes
+    round COST: a pure path-propagation round otherwise re-seeds every
+    (rule, position) branch and pays a full delta materialization, while
+    the closure loop touches one predicate slice with two jobs per
+    internal round. The fixpoint output is identical either way
+    (transitive saturation is confluent with the other rules); pinned by
+    tests/test_reasoning.py differential cases.
 
     ``wrong_facts``: triples asserted with prob < 0.5 ("known to be wrong",
     network.hpp:65-94). They participate in the input ``edges`` like any
@@ -265,7 +366,7 @@ def run_fixpoint(
     try:
         return _run_fixpoint_inner(
             edges, rules, contradiction_rules, semi_naive, max_iter, scratch,
-            fuse, wrong_facts,
+            fuse, wrong_facts, transitive_doubling,
         )
     finally:
         for k, v in old.items():
@@ -278,14 +379,53 @@ def run_fixpoint(
 
 def _run_fixpoint_inner(
     edges, rules, contradiction_rules, semi_naive, max_iter, scratch, fuse,
-    wrong_facts=None,
+    wrong_facts=None, transitive_doubling=True,
 ) -> FixpointResult:
     spark = edges.sparkSession
     base = edges.select(*EDGE_COLS).dropDuplicates(EDGE_COLS).localCheckpoint()
     positive = [r for r in rules if not r.negated]
     naf_rules = [r for r in rules if r.negated]
+    tsplit = split_transitive(positive) if transitive_doubling else None
+    if tsplit is not None:
+        positive = tsplit.rest
     groups = fuse_rules(positive) if fuse else None
     per_rule = groups.leftover if groups is not None else positive
+
+    # --- transitive-closure acceleration (see run_fixpoint docstring) ---
+    tset: set = set(tsplit.const_preds) if tsplit else set()
+
+    def _new_members(df) -> set:
+        """Predicates newly declared transitive by facts in ``df`` (tiny:
+        membership facts are per-PREDICATE declarations, a handful of rows)."""
+        out: set = set()
+        for mp, mo in (tsplit.memberships if tsplit else []):
+            out |= {
+                r.subj
+                for r in df.filter(
+                    (F.col("pred") == F.lit(mp)) & (F.col("obj") == F.lit(mo))
+                )
+                .select("subj")
+                .distinct()
+                .collect()
+            }
+        return out - tset
+
+    def _closure_cands(full, preds) -> list:
+        """Fully saturate every dirty transitive predicate's slice in ONE
+        grouped adaptive linear->doubling closure (pred rides the join key,
+        so job count per internal round is constant in the predicate count);
+        candidate rows are anti-joined against known facts by
+        materialize_new like any rule firing. Injecting the COMPLETE
+        closure keeps a predicate quiescent until some OTHER rule adds an
+        edge to it (which shows up in delta_preds and marks it dirty again)
+        — re-closing an already-closed slice converges in one internal
+        join."""
+        from ..closure import transitive_closure
+
+        sl = full.filter(F.col("pred").isin(*preds)).select(
+            "pred", "subj", "obj"
+        )
+        return [transitive_closure(sl, group=("pred",)).select(*EDGE_COLS)]
 
     def fire_all(full, delta=None, delta_preds=None, present=None):
         outs = []
@@ -370,9 +510,13 @@ def _run_fixpoint_inner(
 
     # classic first pass (reasoning_seminaive.cpp:236-242)
     _t0 = _time.time()
-    delta, dpath, n_delta, delta_preds = materialize_new(
-        fire_all(full, present=present), full, "delta_0"
-    )
+    cand0 = fire_all(full, present=present)
+    if tsplit:
+        tset |= _new_members(base)
+        dirty0 = {p for p in tset if p in present}
+        if dirty0:
+            cand0 = _union_all([cand0] + _closure_cands(full, dirty0))
+    delta, dpath, n_delta, delta_preds = materialize_new(cand0, full, "delta_0")
     while iterations < max_iter:
         iterations += 1
         log.append({"iter": iterations, "stratum": "positive", "new": n_delta,
@@ -409,6 +553,12 @@ def _run_fixpoint_inner(
             cand = fire_all(full, seed, delta_preds, present)
         else:
             cand = fire_all(full, present=present)
+        if tsplit:
+            nm = _new_members(delta)
+            tset |= nm
+            dirty = {p for p in ((delta_preds & tset) | nm) if p in present}
+            if dirty:
+                cand = _union_all([cand] + _closure_cands(full, dirty))
         delta, dpath, n_delta, delta_preds = materialize_new(
             cand, full, f"delta_{iterations}"
         )
@@ -416,19 +566,26 @@ def _run_fixpoint_inner(
     # detach the result from the scratch dir (deleted by the caller): one
     # final materialization of the deltas instead of one per round; base is
     # already checkpointed and is not re-copied
+    _t0 = _time.time()
     if delta_paths:
         full = base.unionByName(
             spark.read.parquet(*delta_paths).localCheckpoint()
         )
+    log.append({"stratum": "detach", "sec": round(_time.time() - _t0, 2)})
+    _t0 = _time.time()
     contradictions = evaluate_contradictions(
         full, contradiction_rules or [], present_preds=present
     )
     if wrong_facts is not None:
+        # plan construction is lazy but deduced_wrong_contradictions runs
+        # one EAGER job (the wrong-predicate collect) — timed so the e2e
+        # decomposition can see the sweep's driver-side share
         contradictions = contradictions.unionByName(
             deduced_wrong_contradictions(
                 full, rules, wrong_facts, present_preds=present
             )
         )
+    log.append({"stratum": "contra-plan", "sec": round(_time.time() - _t0, 2)})
     deduced = full.join(base, on=EDGE_COLS, how="left_anti")
     return FixpointResult(
         edges=full,
