@@ -315,7 +315,7 @@ def run_fixpoint(
     max_iter: int = 100,
     fuse: bool = True,
     wrong_facts: DataFrame | None = None,
-    transitive_doubling: bool = True,
+    transitive_doubling: bool | None = None,
 ) -> FixpointResult:
     """Saturate ``edges`` (string or long ids — any equality-joinable type)
     under ``rules``; then evaluate ``contradiction_rules`` once.
@@ -350,6 +350,10 @@ def run_fixpoint(
     # overhead on tail rounds. Size-first collapses tiny shuffles to one
     # partition while leaving genuinely large rounds wide.
     import os
+
+    if transitive_doubling is None:
+        # default ON; ZELPH_TC_DOUBLING=0 flips it for A/B measurement
+        transitive_doubling = os.environ.get("ZELPH_TC_DOUBLING", "1") != "0"
 
     loop_conf = {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
@@ -394,11 +398,16 @@ def _run_fixpoint_inner(
     # --- transitive-closure acceleration (see run_fixpoint docstring) ---
     tset: set = set(tsplit.const_preds) if tsplit else set()
 
-    def _new_members(df) -> set:
+    def _new_members(df, df_preds=None) -> set:
         """Predicates newly declared transitive by facts in ``df`` (tiny:
-        membership facts are per-PREDICATE declarations, a handful of rows)."""
+        membership facts are per-PREDICATE declarations, a handful of rows).
+        ``df_preds``: when the caller already knows ``df``'s predicate set
+        (delta Observation metrics), membership specs whose predicate is
+        absent are skipped — most rounds then pay ZERO extra jobs."""
         out: set = set()
         for mp, mo in (tsplit.memberships if tsplit else []):
+            if df_preds is not None and mp not in df_preds:
+                continue
             out |= {
                 r.subj
                 for r in df.filter(
@@ -554,7 +563,7 @@ def _run_fixpoint_inner(
         else:
             cand = fire_all(full, present=present)
         if tsplit:
-            nm = _new_members(delta)
+            nm = _new_members(delta, delta_preds)
             tset |= nm
             dirty = {p for p in ((delta_preds & tset) | nm) if p in present}
             if dirty:
