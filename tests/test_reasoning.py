@@ -4,6 +4,8 @@ test_stratified / test_seminaive suites)."""
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -253,12 +255,15 @@ def test_transitive_doubling_differential_deep_chain(spark):
     facts = [(f"n{i:03d}", "p", f"n{i + 1:03d}") for i in range(depth)]
     facts += [("p", "~", "Trans")]
     edges = _df(spark, facts)
-    fast = run_fixpoint(edges, [META_TRANS])
+    fast = run_fixpoint(edges, [META_TRANS], transitive_doubling=True)
     slow = run_fixpoint(edges, [META_TRANS], transitive_doubling=False)
     got = _edge_set(fast.edges)
     assert got == _edge_set(slow.edges)
     assert got == oracle.stratified_fixpoint(set(map(tuple, facts)), [META_TRANS])
     assert fast.iterations <= 2
+    # the DEFAULT (plain) loop is already O(log d): the delta joins the
+    # full extent at the other position, doubling path length per round
+    assert slow.iterations <= 2 + math.ceil(math.log2(depth))
     assert verify_fixpoint(fast, [META_TRANS])
 
 
@@ -271,7 +276,7 @@ def test_transitive_membership_discovered_mid_fixpoint(spark):
     facts = [(f"m{i:02d}", "p", f"m{i + 1:02d}") for i in range(depth)]
     facts += [("p", "mark", "yes")]
     edges = _df(spark, facts)
-    fast = run_fixpoint(edges, [META_TRANS, mark])
+    fast = run_fixpoint(edges, [META_TRANS, mark], transitive_doubling=True)
     slow = run_fixpoint(edges, [META_TRANS, mark], transitive_doubling=False)
     got = _edge_set(fast.edges)
     assert got == _edge_set(slow.edges)
@@ -290,7 +295,7 @@ def test_transitive_const_shape_differential(spark):
     facts = [("w", "part", "x"), ("x", "part", "y"), ("y", "part", "z"),
              ("q", "other", "w")]
     edges = _df(spark, facts)
-    fast = run_fixpoint(edges, [part_of])
+    fast = run_fixpoint(edges, [part_of], transitive_doubling=True)
     slow = run_fixpoint(edges, [part_of], transitive_doubling=False)
     got = _edge_set(fast.edges)
     assert got == _edge_set(slow.edges)

@@ -325,13 +325,16 @@ def run_fixpoint(
     saturate each transitive predicate's slice with the adaptive
     linear->doubling closure instead. The semi-naive loop ALREADY doubles
     path length per round (the delta joins the full extent at the other
-    position), so this does not change round asymptotics — it changes
-    round COST: a pure path-propagation round otherwise re-seeds every
-    (rule, position) branch and pays a full delta materialization, while
-    the closure loop touches one predicate slice with two jobs per
-    internal round. The fixpoint output is identical either way
-    (transitive saturation is confluent with the other rules); pinned by
-    tests/test_reasoning.py differential cases.
+    position), so this cannot change round asymptotics — both modes are
+    O(log diameter) rounds — and measurement says it does not beat the
+    plain loop's round cost either: the injected closure pays its own
+    join-per-doubling PLUS a second anti-join materialization per driver
+    round, which on a 512-deep chain makes it 1.8x SLOWER warm
+    (tools/tc_chain_bench.py) and at best a tie on the sf0.1 taxonomy.
+    Kept as an opt-in experiment (default False / ZELPH_TC_DOUBLING=1);
+    the fixpoint output is identical either way (transitive saturation is
+    confluent with the other rules), pinned by tests/test_reasoning.py
+    differential cases.
 
     ``wrong_facts``: triples asserted with prob < 0.5 ("known to be wrong",
     network.hpp:65-94). They participate in the input ``edges`` like any
@@ -352,8 +355,15 @@ def run_fixpoint(
     import os
 
     if transitive_doubling is None:
-        # default ON; ZELPH_TC_DOUBLING=0 flips it for A/B measurement
-        transitive_doubling = os.environ.get("ZELPH_TC_DOUBLING", "1") != "0"
+        # Default OFF — measured, not assumed: warm A/B at local[8]
+        # (tools/tc_chain_bench.py) has the plain loop at 17.8 s vs 32.8 s
+        # injected on a 512-deep chain (the injection pays a second
+        # materialization per round), and a tie (~30 vs ~32 s) on the
+        # sf0.1 taxonomy workload. The plain loop already quiesces in
+        # O(log d) rounds (10 rounds @ depth 512, pinned by
+        # test_plain_loop_log_rounds) because the delta joins the FULL
+        # extent at the other position. ZELPH_TC_DOUBLING=1 opts in.
+        transitive_doubling = os.environ.get("ZELPH_TC_DOUBLING", "0") == "1"
 
     loop_conf = {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
@@ -426,9 +436,8 @@ def _run_fixpoint_inner(
         candidate rows are anti-joined against known facts by
         materialize_new like any rule firing. Injecting the COMPLETE
         closure keeps a predicate quiescent until some OTHER rule adds an
-        edge to it (which shows up in delta_preds and marks it dirty again)
-        — re-closing an already-closed slice converges in one internal
-        join."""
+        edge to it (which shows up in the RULE delta's pred set — see
+        materialize_round — and marks it dirty again)."""
         from ..closure import transitive_closure
 
         sl = full.filter(F.col("pred").isin(*preds)).select(
@@ -509,6 +518,35 @@ def _run_fixpoint_inner(
         m = obs.get
         return spark.read.parquet(path), path, m["n"], set(m["preds"])
 
+    def materialize_round(cand_rules, clo_cands, full, name):
+        """Land rule candidates and closure candidates as SEPARATE deltas
+        so dirty-tracking keys off the RULE delta alone. The closure's own
+        output must not re-mark its predicate dirty — that re-ran the whole
+        closure over the already-saturated slice on every following round
+        (a pure waste; each re-close converges in one internal join but
+        still pays planning + a shuffle per round) — while rule-produced
+        facts on a transitive predicate (e.g. wikidata.zph's
+        transitive-inverse rule) still must, or the factored-out
+        transitivity would never compose them. Even with this fix the
+        injected mode measures 1.8x slower than the plain loop on a
+        512-deep chain (tools/tc_chain_bench.py), hence default OFF. Returns (delta, paths, n, delta_preds, rule_preds)."""
+        d_r, p_r, n_r, preds_r = materialize_new(cand_rules, full, name)
+        if not clo_cands:
+            return d_r, ([p_r] if n_r else []), n_r, preds_r, preds_r
+        known = full if d_r is None else full.unionByName(d_r)
+        d_c, p_c, n_c, preds_c = materialize_new(
+            _union_all(clo_cands), known, f"{name}_clo"
+        )
+        paths = [p for p, n in ((p_r, n_r), (p_c, n_c)) if n]
+        if d_r is None or n_r == 0:
+            return d_c, paths, n_c, preds_c, preds_r
+        if d_c is None or n_c == 0:
+            return d_r, paths, n_r, preds_r, preds_r
+        return (
+            d_r.unionByName(d_c), paths, n_r + n_c,
+            preds_r | preds_c, preds_r,
+        )
+
     import time as _time
 
     full = base
@@ -520,12 +558,15 @@ def _run_fixpoint_inner(
     # classic first pass (reasoning_seminaive.cpp:236-242)
     _t0 = _time.time()
     cand0 = fire_all(full, present=present)
+    clo0: list = []
     if tsplit:
         tset |= _new_members(base)
         dirty0 = {p for p in tset if p in present}
         if dirty0:
-            cand0 = _union_all([cand0] + _closure_cands(full, dirty0))
-    delta, dpath, n_delta, delta_preds = materialize_new(cand0, full, "delta_0")
+            clo0 = _closure_cands(full, dirty0)
+    delta, dpaths, n_delta, delta_preds, rule_preds = materialize_round(
+        cand0, clo0, full, "delta_0"
+    )
     while iterations < max_iter:
         iterations += 1
         log.append({"iter": iterations, "stratum": "positive", "new": n_delta,
@@ -545,10 +586,11 @@ def _run_fixpoint_inner(
             # NAF deductions re-open the positive stratum. The union into
             # `full` / total_new happens ONCE at the loop top like any other
             # delta (a pre-union here double-counted and duplicated rows).
-            delta, dpath, n_delta, delta_preds = naf_new, npath, n_naf, naf_preds
+            delta, dpaths, n_delta = naf_new, [npath], n_naf
+            delta_preds = rule_preds = naf_preds
             continue
         total_new += n_delta
-        delta_paths.append(dpath)
+        delta_paths.extend(dpaths)
         maybe_compact()
         full = full_df()
         present |= delta_preds
@@ -562,14 +604,15 @@ def _run_fixpoint_inner(
             cand = fire_all(full, seed, delta_preds, present)
         else:
             cand = fire_all(full, present=present)
+        clo: list = []
         if tsplit:
             nm = _new_members(delta, delta_preds)
             tset |= nm
-            dirty = {p for p in ((delta_preds & tset) | nm) if p in present}
+            dirty = {p for p in ((rule_preds & tset) | nm) if p in present}
             if dirty:
-                cand = _union_all([cand] + _closure_cands(full, dirty))
-        delta, dpath, n_delta, delta_preds = materialize_new(
-            cand, full, f"delta_{iterations}"
+                clo = _closure_cands(full, dirty)
+        delta, dpaths, n_delta, delta_preds, rule_preds = materialize_round(
+            cand, clo, full, f"delta_{iterations}"
         )
 
     # detach the result from the scratch dir (deleted by the caller): one
