@@ -1193,6 +1193,98 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def q_multimodal_pipeline(spark, sf_dir):
+    """Multimodal plumbing end-to-end through the REAL Arrow/mapInPandas
+    operators (ops/multimodal.py): a deterministic media table is derived
+    from the documents table (payload = sha256 hex of the ref, typed by
+    doc_id mod 3), then decode_image (stub codec, feature vector),
+    resize_plan (pure-columnar target dims) and sample_frames (one row per
+    sampled timestamp) run over it and are folded to one row per media.
+    The oracle recomputes everything structurally — schema, batch shape,
+    pass-through rules, frame counts AND the feature hash math (feat0 is
+    the first feature component, float32 on both sides, so any drift in
+    the decode UDF's byte handling breaks parity)."""
+    from zelph_spark.ops import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ref = F.concat(F.lit("M"), F.col("doc_id").cast("string"))
+    media = docs.select(
+        ref.alias("media_ref"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("video/mp4"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("media_type"),
+        F.sha2(ref, 256).cast("binary").alias("content"),
+        ((F.col("doc_id") * 37) % 512 + 16).cast("int").alias("width"),
+        ((F.col("doc_id") * 53) % 512 + 16).cast("int").alias("height"),
+        ((F.col("doc_id") * 97) % 60000).cast("int").alias("duration_ms"),
+    )
+    decoded = mm.decode_image(media).select(
+        "media_ref",
+        "decoder",
+        F.when(
+            F.col("decoder") == "stub-sha256",
+            F.round(F.element_at("features", 1).cast("double"), 6),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("feat0"),
+    )
+    resized = mm.resize_plan(media).select(
+        "media_ref", "media_type", "width", "height",
+        "target_width", "target_height",
+    )
+    frames = mm.sample_frames(media).groupBy("media_ref").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.max("ts_ms").cast("int").alias("last_ts_ms"),
+    )
+    return (
+        resized.join(decoded, "media_ref")
+        .join(frames, "media_ref", "left")
+        .select(
+            "media_ref", "media_type", "width", "height",
+            "target_width", "target_height", "decoder", "feat0",
+            F.coalesce("n_frames", F.lit(0)).cast("int").alias("n_frames"),
+            F.coalesce("last_ts_ms", F.lit(-1)).cast("int").alias("last_ts_ms"),
+        )
+    )
+
+
+# feat0 parity: the stub decoder hashes the payload BYTES (= the utf-8 of
+# the sha256 hex string, since content is that hex cast to binary) with
+# sha256 and takes big-endian word 0 / 2^32 as float32 — DuckDB reproduces
+# it as sha256(sha256(ref)) hex-prefix arithmetic, float32-cast both sides
+ORACLE_MULTIMODAL = """
+WITH media AS (
+  SELECT concat('M', doc_id) AS media_ref,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'video/mp4'
+              ELSE 'audio/wav' END AS media_type,
+         CAST((doc_id * 37) % 512 + 16 AS INTEGER) AS width,
+         CAST((doc_id * 53) % 512 + 16 AS INTEGER) AS height,
+         CAST((doc_id * 97) % 60000 AS INTEGER) AS duration_ms
+  FROM documents
+)
+SELECT media_ref, media_type, width, height,
+       CAST(ceil(width * least(1.0, 256.0 / greatest(width, height)))
+            AS INTEGER) AS target_width,
+       CAST(ceil(height * least(1.0, 256.0 / greatest(width, height)))
+            AS INTEGER) AS target_height,
+       CASE WHEN media_type = 'image/png' THEN 'stub-sha256'
+            ELSE 'skip' END AS decoder,
+       CASE WHEN media_type = 'image/png'
+            THEN ROUND(CAST(CAST(concat('0x',
+                     substr(sha256(sha256(media_ref)), 1, 8)) AS UBIGINT)
+                     / 4294967296.0 AS REAL)::DOUBLE, 6)
+            ELSE -1.0 END AS feat0,
+       CASE WHEN media_type = 'video/mp4'
+            THEN CAST(greatest(1, duration_ms // 1000) AS INTEGER)
+            ELSE 0 END AS n_frames,
+       CASE WHEN media_type = 'video/mp4'
+            THEN CAST((greatest(1, duration_ms // 1000) - 1) * 1000 AS INTEGER)
+            ELSE -1 END AS last_ts_ms
+FROM media
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1235,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh": q_sim_lsh,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
+        "multimodal_pipeline": q_multimodal_pipeline,
     }
 
 
@@ -1269,4 +1362,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "sim_lsh": ORACLE_SIM_LSH,
+        "multimodal_pipeline": ORACLE_MULTIMODAL,
     }

@@ -120,6 +120,10 @@ def run_e2e_pipeline(
     }
 
 
+# queries whose hot path runs in Arrow/Python workers — bracketed by the
+# Python-worker probe (the JVM probes can't see that axis)
+PY_PROBED = {"kg_extract_roundtrip", "e2e_pipeline"}
+
 HEADLINE = [
     "kg_reason_taxonomy",
     "kg_closure",
@@ -192,6 +196,31 @@ def _latency_probe(spark) -> float:
         ts.append(time.time() - t0)
     ts.sort()
     return round(ts[len(ts) // 2], 3)
+
+
+# Python-worker probe: a fixed trivial mapInPandas over one partition per
+# core. The shuffle and latency probes are both JVM-side and CAN BOTH READ
+# HEALTHY while the Python workers are degraded (measured r5: a certified
+# flags-empty run had kg_extract_roundtrip at 27-28 s on BOTH passes while
+# a fresh session minutes later ran it at 1.2-4.3 s with this probe at
+# 0.99 s) — Arrow-UDF queries need their own host axis. Healthy ~0.5-1.5 s.
+PY_PROBE_HEALTHY_MAX = 5.0
+
+
+def _python_probe(spark) -> float:
+    import pandas as pd
+
+    n = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+    (
+        spark.range(0, n * 100_000, 1, n)
+        .mapInPandas(
+            lambda it: (pd.DataFrame({"n": [len(p)]}) for p in it),
+            schema="n long",
+        )
+        .count()
+    )
+    return round(time.time() - t0, 2)
 
 
 def _launch_gate(gate_budget: float) -> tuple[list[float], bool]:
@@ -275,9 +304,12 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
             break
         probes = [_host_probe(spark, INTERLEAVE_PROBE_ROWS)]
         lat = [_latency_probe(spark)]
+        pyp: dict[str, float] = {"start": _python_probe(spark)}
         qt: dict[str, float] = {}
         e2e = None
         for name in names:
+            if name in PY_PROBED:
+                pyp[f"{name}_before"] = _python_probe(spark)
             if name == "e2e_pipeline":
                 lat.append(_latency_probe(spark))
             t0 = time.time()
@@ -288,10 +320,13 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
                     "overwrite"
                 ).save()
             qt[name] = round(time.time() - t0, 3)
+            if name in PY_PROBED:
+                pyp[f"{name}_after"] = _python_probe(spark)
             probes.append(_host_probe(spark, INTERLEAVE_PROBE_ROWS))
         lat.append(_latency_probe(spark))
         passes.append(
-            {"queries": qt, "probes": probes, "e2e": e2e, "latency": lat}
+            {"queries": qt, "probes": probes, "e2e": e2e, "latency": lat,
+             "py_probes": pyp}
         )
 
     requested_passes = n_passes
@@ -344,6 +379,19 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
     # reading bracketing the BEST e2e pass condemns or certifies it — a
     # +0.1 s/job swing integrates to tens of seconds over the pipeline's
     # hundreds of jobs/stages while every shuffle probe still reads healthy
+    # Python-worker axis: flag each Arrow-UDF query whose BEST pass ran
+    # between degraded python probes even if every JVM probe read healthy
+    for name in sorted(PY_PROBED):
+        taken = min(range(n_passes), key=lambda p: passes[p]["queries"][name])
+        pyp = passes[taken]["py_probes"]
+        worst = max(pyp[f"{name}_before"], pyp[f"{name}_after"])
+        if worst > PY_PROBE_HEALTHY_MAX:
+            flags.append(
+                f"{name}: python-worker probe {worst} s around the best "
+                f"pass (healthy ~0.5-1.5, ceiling {PY_PROBE_HEALTHY_MAX}) — "
+                "Arrow-UDF stages ran in a python-side degraded window the "
+                "JVM probes cannot see"
+            )
     e2e_pass = min(range(n_passes), key=lambda p: passes[p]["e2e"]["sec"])
     e2e_lat = max(passes[e2e_pass]["latency"][-2:])
     if e2e_lat > LATENCY_HEALTHY_MAX:
@@ -375,6 +423,7 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
         "launch_probes": launch_probes,
         "pass_probes": [p["probes"] for p in passes],
         "pass_latency_sec_per_job": [p["latency"] for p in passes],
+        "pass_py_probes": [p["py_probes"] for p in passes],
         "pass_queries": [p["queries"] for p in passes],
         "host_flags": flags,
         # decomposition of the best e2e pass (judge r4 item #3): total =
