@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import sys
 from collections.abc import Callable
+from datetime import timedelta
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
@@ -1193,6 +1194,79 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def q_events_sessionize_stream(spark, sf_dir):
+    """Streaming sessionization through the custom stateful operator
+    (``streaming.stream_sessionize``: ``applyInPandasWithState`` with
+    event-time timeouts) run in batch-incremental (availableNow) mode and
+    made DETERMINISTIC for the gate: one sentinel event per user, 3 hours
+    past the global max ts, closes every real session via the in-batch gap
+    rule — no emission depends on watermark timing or no-data-batch
+    behavior, and the sentinel's own open session is never emitted (its
+    timeout stays above the final watermark). Output = one row per real
+    session; DuckDB recomputes it with window functions."""
+    import shutil
+    import tempfile
+
+    from zelph_spark import streaming
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.lit("{}").alias("props"),
+    )
+    mx = e.agg(F.max("ts")).collect()[0][0]  # bounded: one row
+    sentinels = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            (F.lit(20_000_000) + F.col("user_id")).alias("event_id"),
+            F.lit(mx + timedelta(hours=3)).alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="zelph_sess_stream_")
+    try:
+        landing = f"{root}/landing"
+        e.unionByName(sentinels).write.parquet(landing)
+        streaming.drain(
+            streaming.stream_sessionize(
+                spark, landing, f"{root}/out", f"{root}/ckpt",
+                gap_s=1800, watermark="1 minute",
+            )
+        )
+        out = spark.read.parquet(f"{root}/out").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("user_id", "session_start")
+
+
+# epoch()::BIGINT truncates to whole seconds exactly like the stream's
+# state (and Spark's unix_timestamp) — the boundary comparison must run on
+# the same truncation on both sides
+ORACLE_EVENTS_SESSIONIZE_STREAM = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(to_timestamp(MIN(sec)) AS TIMESTAMP) AS session_start,
+       CAST(to_timestamp(MAX(sec)) AS TIMESTAMP) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 def q_multimodal_pipeline(spark, sf_dir):
     """Multimodal plumbing end-to-end through the REAL Arrow/mapInPandas
     operators (ops/multimodal.py): a deterministic media table is derived
@@ -1327,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh": q_sim_lsh,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
+        "events_sessionize_stream": q_events_sessionize_stream,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
 
@@ -1362,5 +1437,6 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "sim_lsh": ORACLE_SIM_LSH,
+        "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,
         "multimodal_pipeline": ORACLE_MULTIMODAL,
     }

@@ -455,6 +455,15 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
                  "note": "8 threads hit the single guest's memory-bandwidth "
                          "wall (core-seconds flat at 1/2/4, +43% at 8); "
                          "separate executor hosts do not share it"},
+                {"executors": "1->4 (spark-submit --py-files, standalone "
+                              "master + separate 1-core/18g Worker JVMs)",
+                 "sec_low": 1062.4, "sec_high": 958.8, "efficiency": 0.277,
+                 "note": "deployment-shape evidence: compute stages scale "
+                         "3.3x/2.4x/2x, shuffle stages anti-scale because "
+                         "4 JVMs on ONE box turn in-process shuffle into "
+                         "loopback netty fetches through the same memory "
+                         "bus; separate hosts add bandwidth per executor "
+                         "(tools/cluster_scaling.py, BASELINE.md r5)"},
             ],
             "source": "BASELINE.md [r5] 8M-doc scaling pairs (2026-08-18)",
         },
