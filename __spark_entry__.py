@@ -1141,6 +1141,88 @@ SELECT query_id, neighbor_id, rn FROM ranked WHERE rn <= 5
 """
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs through the REAL scale path
+    (``similarity.embedding_near_dup_pairs``: multi-table LSH blocking in
+    one numpy-matmul Arrow UDF + exact cosine verify). The driver corpus
+    has no natural near-dups (max pairwise cos ~0.51), so the query plants
+    deterministic ones: scaled copies (cos exactly 1, and scale-invariant
+    bucketing guarantees blocking finds them) and vector-sum mixtures
+    (non-trivial cos, where the deterministic sin/cos hyperplanes let
+    DuckDB rebuild the SAME candidate blocking — a deterministic LSH miss
+    is mirrored by the oracle, so the hash still matches)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    scaled = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("emb2")
+    )
+    mixed = (
+        emb.filter(F.col("vec_id") < 25)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.zip_with("embedding", "emb2", lambda x, y: x * F.lit(3.0) + y).alias(
+                "embedding"
+            ),
+        )
+    )
+    inp = emb.unionByName(scaled).unionByName(mixed)
+    return similarity.embedding_near_dup_pairs(
+        inp, threshold=0.8, n_planes=8, n_tables=4
+    ).select("a", "b", "cos")
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH emb0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), inp AS (
+  SELECT vec_id, v FROM emb0
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+  FROM emb0 WHERE vec_id < 25
+  UNION ALL
+  SELECT a.vec_id + 200000,
+         list_transform(list_zip(a.v, b.v), x -> x[1] * 3.0 + x[2])
+  FROM emb0 a JOIN emb0 b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 25
+), planes AS (
+  SELECT t.t, i.i,
+         list(sin(0.7*(1000*t.t + i.i) + 0.311*j.j)
+              + cos(1.3*(1000*t.t + i.i) - 0.17*j.j) ORDER BY j.j) AS plane
+  FROM (SELECT unnest(range(4)) AS t) t,
+       (SELECT unnest(range(8)) AS i) i,
+       (SELECT unnest(range(64)) AS j) j
+  GROUP BY t.t, i.i
+), buckets AS (
+  SELECT e.vec_id, p.t AS tbl,
+         SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN (1::BIGINT << p.i) ELSE 0::BIGINT END) AS bucket
+  FROM inp e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+), cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM buckets l JOIN buckets r ON l.tbl = r.tbl AND l.bucket = r.bucket
+  WHERE l.vec_id < r.vec_id
+), scored AS (
+  SELECT c.a, c.b,
+         ROUND(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+  FROM cand c
+  JOIN inp x ON x.vec_id = c.a
+  JOIN inp y ON y.vec_id = c.b
+)
+SELECT a, b, cos FROM scored WHERE cos >= 0.8
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap splits sessions per user."""
     from pyspark.sql import Window
@@ -1395,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "sim_topk": q_sim_topk,
@@ -1436,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "sim_lsh": ORACLE_SIM_LSH,
         "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,
         "multimodal_pipeline": ORACLE_MULTIMODAL,
