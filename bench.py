@@ -114,6 +114,11 @@ def run_e2e_pipeline(
         "fixpoint_secs": round(
             sum(e.get("sec", 0) for e in fx if "iter" in e), 2
         ),
+        # driver-side plan construction share of the loop (size-independent
+        # per round; amortizes with data scale, not with executors)
+        "fixpoint_plan_secs": round(
+            sum(e.get("plan_sec", 0) for e in fx), 2
+        ),
         "fixpoint_tail_secs": round(
             sum(e.get("sec", 0) for e in fx if "iter" not in e), 2
         ),

@@ -38,6 +38,17 @@ def _vcol(term: str) -> str:
     return term[1:]
 
 
+def _pattern_var_cols(pat: Pattern) -> set[str]:
+    """Output column names of ``bind_condition(_, pat)`` — computed in
+    Python so plan construction never has to ask Spark. Every ``.columns``
+    on a freshly built DataFrame runs the Catalyst analyzer over its whole
+    subtree (which, mid-fixpoint, includes the round's multi-file delta
+    union); at one call per condition per rule-position per round that was
+    the single largest driver-side cost of a fixpoint round (measured:
+    ~30% of the loop at sf0.1 before this and the callers' bookkeeping)."""
+    return {_vcol(t) for t in pat.variables}
+
+
 def bind_condition(edges: DataFrame, pat: Pattern) -> DataFrame:
     """One condition -> DataFrame of its variable bindings.
 
@@ -108,14 +119,17 @@ def compile_rule_body(
     extent and run last (stratification is the driver's job, R9)."""
     order = order_conditions(rule)
     acc: DataFrame | None = None
+    acc_vars: set[str] = set()
     for idx in order:
         src = delta if (delta_at is not None and idx == delta_at) else edges
         cdf = bind_condition(src, rule.conditions[idx])
+        cvars = _pattern_var_cols(rule.conditions[idx])
         if acc is None:
             acc = cdf
         else:
-            shared = sorted(set(acc.columns) & set(cdf.columns))
+            shared = sorted(acc_vars & cvars)
             acc = acc.join(cdf, on=shared) if shared else acc.crossJoin(cdf)
+        acc_vars |= cvars
     if acc is None:
         raise ValueError(f"rule {rule.rule_id} has no positive conditions")
     # inequality guards after both sides are bound (J10)
@@ -127,7 +141,7 @@ def compile_rule_body(
     # follows reasoning_evaluate.cpp:321).
     for nidx in rule.negated:
         ndf = bind_condition(edges, rule.conditions[nidx])
-        shared = sorted(set(acc.columns) & set(ndf.columns))
+        shared = sorted(acc_vars & _pattern_var_cols(rule.conditions[nidx]))
         if shared:
             acc = acc.join(ndf, on=shared, how="left_anti")
         else:
@@ -182,14 +196,18 @@ def project_consequence(
         proj = sorted(_vcol(v) for v in cons_vars - set(fresh))
         if proj:
             bindings = bindings.select(*proj).dropDuplicates()
+            bind_cols = proj
         else:
             # consequences are all-constant-plus-fresh: one firing total
             bindings = (
                 bindings.select(F.lit(1).alias("_k")).dropDuplicates()
             )
+            bind_cols = ["_k"]
         guard = Rule(f"{rule.rule_id}#exists", tuple(cons_list), None)
         satisfied = compile_rule_body(guard, edges)
-        shared = sorted(set(bindings.columns) & set(satisfied.columns))
+        # guard columns = all consequence vars (incl. fresh), so the
+        # intersection with bind_cols (= cons vars minus fresh) is proj
+        shared = sorted(set(bind_cols) - {"_k"})
         if shared:
             bindings = bindings.join(
                 satisfied.select(*shared).distinct(), on=shared, how="left_anti"
@@ -204,7 +222,7 @@ def project_consequence(
                 .drop("_any")
             )
         id_is_long = dict(edges.dtypes).get("subj") == "bigint"
-        key_cols = sorted(bindings.columns)
+        key_cols = sorted(bind_cols)
         for v in sorted(fresh):
             h = F.xxhash64(
                 F.lit(rule.rule_id), F.lit(v),

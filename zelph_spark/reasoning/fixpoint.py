@@ -567,10 +567,15 @@ def _run_fixpoint_inner(
     delta, dpaths, n_delta, delta_preds, rule_preds = materialize_round(
         cand0, clo0, full, "delta_0"
     )
+    plan_sec = None
     while iterations < max_iter:
         iterations += 1
-        log.append({"iter": iterations, "stratum": "positive", "new": n_delta,
-                    "sec": round(_time.time() - _t0, 2)})
+        entry = {"iter": iterations, "stratum": "positive", "new": n_delta,
+                 "sec": round(_time.time() - _t0, 2)}
+        if plan_sec is not None:
+            entry["plan_sec"] = plan_sec
+            plan_sec = None
+        log.append(entry)
         _t0 = _time.time()
         if n_delta == 0:
             # positive quiescence -> deferred NAF stratum (R9)
@@ -594,6 +599,7 @@ def _run_fixpoint_inner(
         maybe_compact()
         full = full_df()
         present |= delta_preds
+        _tp = _time.time()
         if semi_naive:
             # broadcast the delta side when it is small: every rule-position
             # branch then becomes a broadcast hash join and the full extent
@@ -611,6 +617,13 @@ def _run_fixpoint_inner(
             dirty = {p for p in ((rule_preds & tset) | nm) if p in present}
             if dirty:
                 clo = _closure_cands(full, dirty)
+        # plan_sec: driver-side DataFrame/plan construction (Catalyst
+        # analysis runs per transformation over py4j) — the part of a round
+        # that does NOT shrink with more executors and does not grow with
+        # data; the rest of the round's 'sec' is the one materialize job.
+        # A round's numbers land on the NEXT iteration's log entry (the
+        # round timer resets at append time).
+        plan_sec = round(_time.time() - _tp, 2)
         delta, dpaths, n_delta, delta_preds, rule_preds = materialize_round(
             cand, clo, full, f"delta_{iterations}"
         )

@@ -156,16 +156,39 @@ def _out_col(sel_col, const_col, c1s, c1o, c2s=None, c2o=None):
 _VALUE_COLS = ("pa", "pb", "c1s", "c1o", "c2s", "c2o", "outp", "outs_c", "outo_c")
 
 
+_RT_CACHE: dict = {}
+
+
 def _rules_table(edges: DataFrame, rows, schema: str) -> DataFrame:
     """Broadcastable rules table; node-valued columns cast to the edge
-    table's id type (string names or int64 ids after resolve_rules)."""
+    table's id type (string names or int64 ids after resolve_rules).
+
+    Memoized on (session, id type, schema, rows): a semi-naive fixpoint
+    round calls this once per fused shape per delta position with the SAME
+    rows round after round, and ``createDataFrame`` + casts is pure driver
+    overhead (local data, no dependence on the evolving extent). The cache
+    is tiny (a handful of <100-row local frames per ruleset) and keyed by
+    applicationId so frames from a stopped session are never reused."""
     spark = edges.sparkSession
-    rt = spark.createDataFrame(rows, schema)
     dt = edges.schema["subj"].dataType
+    key = (
+        spark.sparkContext.applicationId,
+        dt.simpleString(),
+        schema,
+        tuple(rows),
+    )
+    hit = _RT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rt = spark.createDataFrame(rows, schema)
     for c in _VALUE_COLS:
         if c in rt.columns:
             rt = rt.withColumn(c, F.col(c).cast(dt))
-    return F.broadcast(rt)
+    rt = F.broadcast(rt)
+    if len(_RT_CACHE) > 256:
+        _RT_CACHE.clear()
+    _RT_CACHE[key] = rt
+    return rt
 
 
 def _v(x):
@@ -244,6 +267,77 @@ def fire_pairs(
     )
 
 
+_PAIR_ALL_SCHEMA = _PAIR_SCHEMA + ", j1 string, j2 string"
+
+
+def fire_pairs_all(
+    edges1: DataFrame, edges2: DataFrame, shaped: list
+) -> DataFrame | None:
+    """EVERY pair shape in one two-join plan — plan size constant in rule
+    count AND shape count (one call instead of one per (j1, j2) shape;
+    driver plan construction is a measurable share of a fixpoint round).
+
+    The shape rides the rules table as (j1, j2) columns. The c1-side join
+    key is a j1-CASE over (_s1, _o1) — an expression of left-side columns
+    only. The c2 side cannot do the same (its CASE would mix the left's j2
+    with right columns, which no longer separates by side and would demote
+    the equi-join to a nested loop), so it is EXPLODED into its two key
+    candidates tagged with the position: the join is then the fully
+    separable (pb = _p2) & (j2 = _j2k) & (key1 = _k2) hash join. The probe
+    side carries 2x rows through one join instead of 1x rows through one
+    join per shape."""
+    if not shaped:
+        return None
+    rt = _rules_table(
+        edges1,
+        [(s["rule_id"], _v(s["pa"]), _v(s["pb"]), _v(s["c1s"]), _v(s["c1o"]),
+          _v(s["c2s"]), _v(s["c2o"]), _v(s["outp"]), s["outs"],
+          _v(s["outs_c"]), s["outo"], _v(s["outo_c"]), j1, j2)
+         for (j1, j2), s in shaped],
+        _PAIR_ALL_SCHEMA,
+    )
+    e1 = edges1.select(
+        F.col("subj").alias("_s1"), F.col("pred").alias("_p1"),
+        F.col("obj").alias("_o1"),
+    )
+    left = e1.join(rt, e1["_p1"] == rt["pa"]).filter(
+        (F.col("c1s").isNull() | (F.col("_s1") == F.col("c1s")))
+        & (F.col("c1o").isNull() | (F.col("_o1") == F.col("c1o")))
+    )
+    key1 = F.when(F.col("j1") == "subj", F.col("_s1")).otherwise(F.col("_o1"))
+    e2k = edges2.select(
+        F.col("subj").alias("_s2"), F.col("pred").alias("_p2"),
+        F.col("obj").alias("_o2"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("subj").alias("j"), F.col("subj").alias("k")
+                ),
+                F.struct(F.lit("obj").alias("j"), F.col("obj").alias("k")),
+            )
+        ).alias("_kk"),
+    ).select(
+        "_s2", "_p2", "_o2",
+        F.col("_kk.j").alias("_j2k"), F.col("_kk.k").alias("_k2"),
+    )
+    out = left.join(
+        e2k,
+        (F.col("pb") == F.col("_p2"))
+        & (F.col("j2") == F.col("_j2k"))
+        & (key1 == F.col("_k2")),
+    ).filter(
+        (F.col("c2s").isNull() | (F.col("_s2") == F.col("c2s")))
+        & (F.col("c2o").isNull() | (F.col("_o2") == F.col("c2o")))
+    )
+    return out.select(
+        _out_col("outs", "outs_c", F.col("_s1"), F.col("_o1"),
+                 F.col("_s2"), F.col("_o2")).alias("subj"),
+        F.col("outp").alias("pred"),
+        _out_col("outo", "outo_c", F.col("_s1"), F.col("_o1"),
+                 F.col("_s2"), F.col("_o2")).alias("obj"),
+    )
+
+
 def fire_fused(
     groups: FusedGroups,
     full: DataFrame,
@@ -265,20 +359,47 @@ def fire_fused(
             out = [s for s in out if s[delta_key] in delta_preds]
         return out
 
+    import os
+
+    # Default ON: same execution time measured at sf0.1 (interleaved A/B:
+    # 7.11/6.49/13.17 per-shape vs 7.43/6.68/13.09 all-shapes — window
+    # noise dominates), ~2x cheaper plan construction (12-round build:
+    # 12.5-14 s per-shape cached -> 6.6-8.2 s), and at scale the probe
+    # side is scanned ONCE at 2x rows instead of once per shape at 1x —
+    # fewer full-extent passes. ZELPH_FUSE_ALL_SHAPES=0 restores per-shape.
+    all_shapes = os.environ.get("ZELPH_FUSE_ALL_SHAPES", "1") == "1"
     outs = []
     if delta is None:
         outs.append(fire_single(full, keep(groups.single, ["pa"])))
-        for shape, specs in groups.pairs.items():
-            outs.append(fire_pairs(full, full, shape, keep(specs, ["pa", "pb"])))
+        if all_shapes:
+            outs.append(fire_pairs_all(full, full, [
+                (shape, s) for shape, specs in groups.pairs.items()
+                for s in keep(specs, ["pa", "pb"])
+            ]))
+        else:
+            for shape, specs in groups.pairs.items():
+                outs.append(
+                    fire_pairs(full, full, shape, keep(specs, ["pa", "pb"]))
+                )
     else:
         outs.append(fire_single(delta, keep(groups.single, ["pa"], "pa")))
-        for shape, specs in groups.pairs.items():
-            outs.append(
-                fire_pairs(delta, full, shape, keep(specs, ["pa", "pb"], "pa"))
-            )
-            outs.append(
-                fire_pairs(full, delta, shape, keep(specs, ["pa", "pb"], "pb"))
-            )
+        if all_shapes:
+            outs.append(fire_pairs_all(delta, full, [
+                (shape, s) for shape, specs in groups.pairs.items()
+                for s in keep(specs, ["pa", "pb"], "pa")
+            ]))
+            outs.append(fire_pairs_all(full, delta, [
+                (shape, s) for shape, specs in groups.pairs.items()
+                for s in keep(specs, ["pa", "pb"], "pb")
+            ]))
+        else:
+            for shape, specs in groups.pairs.items():
+                outs.append(fire_pairs(
+                    delta, full, shape, keep(specs, ["pa", "pb"], "pa")
+                ))
+                outs.append(fire_pairs(
+                    full, delta, shape, keep(specs, ["pa", "pb"], "pb")
+                ))
     return [o for o in outs if o is not None]
 
 
