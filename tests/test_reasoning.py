@@ -301,3 +301,31 @@ def test_transitive_const_shape_differential(spark):
     assert got == _edge_set(slow.edges)
     assert ("w", "part", "z") in got
     assert verify_fixpoint(fast, [part_of])
+
+
+def test_bucketed_base_differential_and_catalog_hygiene(spark, monkeypatch):
+    """The bucketed-base anti-join split ((cand \\ base) \\ deltas, base read
+    from a bucketed+sorted table so its side never re-exchanges) must be
+    invisible semantically: identical fixpoint output vs the plain
+    union-anti-join path, and no zelph_fix_base_* table may survive in the
+    session catalog (the files live in the per-run scratch dir, which is
+    deleted — a leaked catalog entry would poison later saveAsTable calls)."""
+    facts = sorted(
+        {(f"Q{i}", "P31", f"Q{100 + i % 7}") for i in range(40)}
+        | {(f"Q{100 + i}", "P279", f"Q{100 + i + 1}") for i in range(6)}
+        | {("P279", "~", "Trans")}
+    )
+    edges = _df(spark, facts)
+    monkeypatch.setenv("ZELPH_FIXPOINT_BUCKET_BASE", "1")
+    on = run_fixpoint(edges, Rz.wikidata_rules())
+    monkeypatch.setenv("ZELPH_FIXPOINT_BUCKET_BASE", "0")
+    off = run_fixpoint(edges, Rz.wikidata_rules())
+    got = _edge_set(on.edges)
+    assert got == _edge_set(off.edges)
+    assert got == oracle.stratified_fixpoint(set(facts), Rz.wikidata_rules())
+    assert on.iterations == off.iterations
+    leftovers = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("zelph_fix_base_")
+    ]
+    assert leftovers == []

@@ -397,6 +397,38 @@ def _run_fixpoint_inner(
 ) -> FixpointResult:
     spark = edges.sparkSession
     base = edges.select(*EDGE_COLS).dropDuplicates(EDGE_COLS).localCheckpoint()
+    # Bucketed copy of base for the per-round anti-join (opt-in,
+    # ZELPH_FIXPOINT_BUCKET_BASE=1): cand \ full splits into
+    # (cand \ base) \ deltas, and a base written ONCE as a bucketed+sorted
+    # table joins with NO exchange and NO sort on its side every round.
+    # MEASURED A TIE at 200k docs — default OFF (A/B, same host, probes
+    # 3.9-4.3 s both legs, 56 rounds, identical outputs: fixpoint 399.7 s
+    # plain vs 407.5 s bucketed): at sandbox scale base is broadcast-small,
+    # so the anti-join never shuffled the full extent to begin with and the
+    # bucketed write+scan is pure overhead. The win exists only where base
+    # exceeds the broadcast threshold AND the shuffle is network-bound —
+    # i.e. the multi-executor shape — so the knob is for spark-submit runs,
+    # not the local bench. Differential-pinned either way
+    # (tests/test_reasoning.py::test_bucketed_base_differential...).
+    import os as _os
+    import uuid as _uuid
+
+    base_b = None
+    base_tbl = None
+    if _os.environ.get("ZELPH_FIXPOINT_BUCKET_BASE", "0") == "1":
+        base_tbl = f"zelph_fix_base_{_uuid.uuid4().hex[:10]}"
+        # bucket count == shuffle partitions so the candidate side's
+        # dropDuplicates exchange already matches the bucketed layout and
+        # the anti-join inserts NO further exchange on either side
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        (
+            base.write.mode("overwrite")
+            .option("path", f"{scratch}/base_bucketed")
+            .bucketBy(n_buckets, *EDGE_COLS)
+            .sortBy(*EDGE_COLS)
+            .saveAsTable(base_tbl)
+        )
+        base_b = spark.table(base_tbl)
     positive = [r for r in rules if not r.negated]
     naf_rules = [r for r in rules if r.negated]
     tsplit = split_transitive(positive) if transitive_doubling else None
@@ -492,18 +524,32 @@ def _run_fixpoint_inner(
         delta_paths.clear()
         delta_paths.append(path)
 
-    def materialize_new(cand, full, name):
+    def anti_targets(extra=None):
+        """The current known-fact set as separate anti-join targets:
+        bucketed base (exchange- and sort-free side) + accumulated deltas
+        (the only part that still shuffles) [+ the sibling delta when the
+        closure lands second]. (A \ (B u C)) == (A \ B) \ C."""
+        t = [base if base_b is None else base_b]
+        if delta_paths:
+            t.append(spark.read.parquet(*delta_paths))
+        if extra is not None:
+            t.append(extra)
+        return t
+
+    def materialize_new(cand, targets, name):
         """Dedup candidates, anti-join against known facts, land as parquet;
         returns (delta_df, path, n_rows, pred_set) with exactly ONE job:
         row count and delta-predicate set ride the write job as Observation
-        metrics instead of a second scan."""
+        metrics instead of a second scan. ``targets``: list of DataFrames
+        whose union is the known-fact set (kept separate so the bucketed
+        base side never re-shuffles)."""
         from pyspark.sql import Observation
 
         if cand is None:
             return None, None, 0, set()
-        out = cand.dropDuplicates(EDGE_COLS).join(
-            full, on=EDGE_COLS, how="left_anti"
-        )
+        out = cand.dropDuplicates(EDGE_COLS)
+        for t in targets:
+            out = out.join(t, on=EDGE_COLS, how="left_anti")
         obs = Observation()
         out = out.observe(
             obs,
@@ -518,7 +564,7 @@ def _run_fixpoint_inner(
         m = obs.get
         return spark.read.parquet(path), path, m["n"], set(m["preds"])
 
-    def materialize_round(cand_rules, clo_cands, full, name):
+    def materialize_round(cand_rules, clo_cands, targets, name):
         """Land rule candidates and closure candidates as SEPARATE deltas
         so dirty-tracking keys off the RULE delta alone. The closure's own
         output must not re-mark its predicate dirty — that re-ran the whole
@@ -529,11 +575,13 @@ def _run_fixpoint_inner(
         transitive-inverse rule) still must, or the factored-out
         transitivity would never compose them. Even with this fix the
         injected mode measures 1.8x slower than the plain loop on a
-        512-deep chain (tools/tc_chain_bench.py), hence default OFF. Returns (delta, paths, n, delta_preds, rule_preds)."""
-        d_r, p_r, n_r, preds_r = materialize_new(cand_rules, full, name)
+        512-deep chain (tools/tc_chain_bench.py), hence default OFF.
+        ``targets``: anti_targets()-style list. Returns
+        (delta, paths, n, delta_preds, rule_preds)."""
+        d_r, p_r, n_r, preds_r = materialize_new(cand_rules, targets, name)
         if not clo_cands:
             return d_r, ([p_r] if n_r else []), n_r, preds_r, preds_r
-        known = full if d_r is None else full.unionByName(d_r)
+        known = targets if (d_r is None or n_r == 0) else targets + [d_r]
         d_c, p_c, n_c, preds_c = materialize_new(
             _union_all(clo_cands), known, f"{name}_clo"
         )
@@ -565,8 +613,12 @@ def _run_fixpoint_inner(
         if dirty0:
             clo0 = _closure_cands(full, dirty0)
     delta, dpaths, n_delta, delta_preds, rule_preds = materialize_round(
-        cand0, clo0, full, "delta_0"
+        cand0, clo0, anti_targets(), "delta_0"
     )
+    from pyspark.storagelevel import StorageLevel
+
+    cache_full = _os.environ.get("ZELPH_FIXPOINT_CACHE_FULL", "0") == "1"
+    prev_cached_full = None
     plan_sec = None
     while iterations < max_iter:
         iterations += 1
@@ -583,7 +635,7 @@ def _run_fixpoint_inner(
                 break
             naf_new, npath, n_naf, naf_preds = materialize_new(
                 _fire_positive(naf_rules, full, present_preds=present),
-                full, f"naf_{iterations}",
+                anti_targets(), f"naf_{iterations}",
             )
             log.append({"iter": iterations, "stratum": "naf", "new": n_naf})
             if n_naf == 0:
@@ -598,6 +650,19 @@ def _run_fixpoint_inner(
         delta_paths.extend(dpaths)
         maybe_compact()
         full = full_df()
+        if cache_full:
+            # MEASURED SLOWER at 200k docs — default OFF (A/B, same host,
+            # 56 rounds: cached 572.6 s vs uncached 462.6, slower in BOTH
+            # the 100k-fact mid rounds (8.5 vs 6.8 s) and the <5k tail
+            # (11.6 vs 9.9 s)): building the columnar CachedBatches every
+            # round costs more than the ~7 parquet re-decodes it saves —
+            # the scan is cheap, the per-round cache WRITE is not. Kept as
+            # an opt-in (ZELPH_FIXPOINT_CACHE_FULL=1) for cluster shapes
+            # where executor-local decode is the bottleneck.
+            full = full.persist(StorageLevel.MEMORY_AND_DISK)
+            if prev_cached_full is not None:
+                prev_cached_full.unpersist(blocking=False)
+            prev_cached_full = full
         present |= delta_preds
         _tp = _time.time()
         if semi_naive:
@@ -625,18 +690,25 @@ def _run_fixpoint_inner(
         # round timer resets at append time).
         plan_sec = round(_time.time() - _tp, 2)
         delta, dpaths, n_delta, delta_preds, rule_preds = materialize_round(
-            cand, clo, full, f"delta_{iterations}"
+            cand, clo, anti_targets(), f"delta_{iterations}"
         )
 
     # detach the result from the scratch dir (deleted by the caller): one
     # final materialization of the deltas instead of one per round; base is
     # already checkpointed and is not re-copied
     _t0 = _time.time()
+    if prev_cached_full is not None:
+        prev_cached_full.unpersist(blocking=False)
     if delta_paths:
         full = base.unionByName(
             spark.read.parquet(*delta_paths).localCheckpoint()
         )
     log.append({"stratum": "detach", "sec": round(_time.time() - _t0, 2)})
+    if base_tbl is not None:
+        # the bucketed base's files live under scratch (deleted by the
+        # caller); drop the catalog entry so sessions reused across many
+        # fixpoint calls don't accumulate dead external tables
+        spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
     _t0 = _time.time()
     contradictions = evaluate_contradictions(
         full, contradiction_rules or [], present_preds=present
