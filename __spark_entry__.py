@@ -993,6 +993,71 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
 """
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowing partial-overlap dedup (MOSS local fingerprints,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every word 4-gram, keep the
+    min of each 4-hash sliding window, pair documents sharing >= 2
+    fingerprints. The shared-passage primitive the whole-document dedup
+    ops can't express: any common token run of length >= 7 guarantees a
+    shared fingerprint. Portable md5-derived hashes, so the oracle
+    recomputes the exact fingerprint set (window-function formulation);
+    the Spark side is one columnar projection per document — no shuffle
+    until the (fp) equi-join, with the same max_df stop-key skew guard as
+    dedup_jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(
+        dedup.winnow_fingerprints(d, k=4, w=4), min_shared=2, max_df=100
+    ).orderBy("a", "b")
+
+
+ORACLE_DEDUP_WINNOW = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS tok,
+         generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+  FROM documents
+), kg AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER d || ' ' || lead(tok, 2) OVER d
+             || ' ' || lead(tok, 3) OVER d AS gram
+  FROM toks
+  WINDOW d AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 3) OVER d IS NOT NULL
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+  FROM kg
+), wmin AS (
+  SELECT doc_id, rn, ng,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, fp
+  FROM wmin
+  WHERE rn <= ng - 4 + 1 OR (ng < 4 AND rn = 1)
+), dfc AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100
+), kept AS (
+  SELECT fps.doc_id, fps.fp FROM fps JOIN dfc USING (fp)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+), shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*)::BIGINT AS n_shared
+  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+  HAVING COUNT(*) >= 2
+)
+SELECT a, b, n_shared,
+       ROUND(n_shared / LEAST(sa.sz, sb.sz), 6) AS containment
+FROM shared JOIN sizes sa ON shared.a = sa.doc_id
+            JOIN sizes sb ON shared.b = sb.doc_id
+ORDER BY a, b
+"""
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = textops.with_fingerprint(textops.with_quality_score(
@@ -1477,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_winnow": q_dedup_winnow,
         "dedup_embedding": q_dedup_embedding,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -1519,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "dedup_winnow": ORACLE_DEDUP_WINNOW,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "sim_lsh": ORACLE_SIM_LSH,
         "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,

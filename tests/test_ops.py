@@ -117,6 +117,67 @@ def test_simhash_near_pairs(spark):
     assert not any(3 in p for p in pairs)
 
 
+def _py_winnow(text: str, k: int = 4, w: int = 4) -> set:
+    """Pure-Python winnowing oracle mirroring winnow_fingerprints exactly:
+    15-hex-char md5 k-gram hashes, min per w-window, distinct; < w k-grams
+    -> one fingerprint (min over all); < k tokens -> empty."""
+    import hashlib
+
+    toks = text.lower().strip().split()
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            DUP_DOCS.text[0],
+            "one two three",          # 3 tokens < k -> no fingerprints
+            "one two three four",     # 1 k-gram < w windows -> exactly 1
+            "one two three four five six",  # 3 k-grams < w -> exactly 1
+        ],
+    })
+    got = {}
+    for r in dedup.winnow_fingerprints(spark.createDataFrame(docs)).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for row in docs.itertuples(index=False):
+        assert got.get(row.doc_id, set()) == _py_winnow(row.text), row.doc_id
+    assert 2 not in got and len(got[3]) == 1 and len(got[4]) == 1
+
+
+def test_winnow_overlap_pairs_shared_passage(spark):
+    """Two documents sharing only a 10-token passage (whole-doc jaccard far
+    below any dedup threshold) must still pair by shared fingerprints —
+    the partial-overlap guarantee: any common run >= k + w - 1 tokens
+    shares at least one fingerprint."""
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "alpha beta gamma delta " + passage + " epsilon zeta eta theta",
+            "completely unrelated prefix words here " + passage + " and a different tail",
+            "a completely different document about spark query engines and joins",
+        ],
+    })
+    pairs = {
+        (r.a, r.b): (r.n_shared, r.containment)
+        for r in dedup.winnow_overlap_pairs(
+            dedup.winnow_fingerprints(spark.createDataFrame(docs)), min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)][0] >= 2
+    assert 0.0 < pairs[(1, 2)][1] <= 1.0
+    assert not any(3 in p for p in pairs)
+    shared = _py_winnow(docs.text[0]) & _py_winnow(docs.text[1])
+    assert pairs[(1, 2)][0] == len(shared)
+
+
 def test_topk_bruteforce_is_exact(spark, emb):
     q = emb.filter(F.col("vec_id") < 3)
     got = similarity.topk_bruteforce(emb, q, k=5).collect()

@@ -258,6 +258,90 @@ def minhash_verified_pairs(
     return out
 
 
+def winnow_fingerprints(
+    df: DataFrame, col: str = "text", key: str = "doc_id", k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprinting
+    scheme: Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every word k-gram,
+    slide a window of ``w`` consecutive k-gram hashes, keep the minimum of
+    each window, distinct. Guarantees: any shared token run of length
+    >= k + w - 1 between two documents yields at least one SHARED
+    fingerprint — the partial-overlap (shared-passage) dedup primitive the
+    whole-document ops above cannot express.
+
+    Returns (key, fp bigint), one row per distinct fingerprint. Documents
+    shorter than ``k`` tokens yield no rows; documents with fewer than
+    ``w`` k-grams yield exactly one fingerprint (min over all hashes —
+    the standard degenerate-window rule).
+
+    Scale shape: the entire per-document computation is one columnar
+    projection (no shuffle, no Python) — only the explode output moves.
+    The hash is the first 15 hex chars of md5 (a positive 60-bit value),
+    chosen over xxhash64 so the DuckDB correctness oracle can recompute
+    the exact fingerprint set cross-engine (same trick as portable
+    simhash)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    ng = F.size(hashes)
+    wins = F.sequence(F.lit(0), F.greatest(ng - w, F.lit(0)))
+    fps = F.array_distinct(
+        F.transform(wins, lambda j: F.array_min(F.slice(hashes, j + 1, w)))
+    )
+    guarded = F.when(n >= k, fps).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(key), F.explode(guarded).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    key: str = "doc_id",
+    min_shared: int = 2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowed fingerprints:
+    (a, b, n_shared, containment) for pairs sharing >= ``min_shared``
+    fingerprints, a < b; containment = n_shared / min(|fps_a|, |fps_b|)
+    (the asymmetric-overlap score — near 1.0 when one document contains
+    the other's passages). ``max_df`` drops boilerplate fingerprints
+    occurring in more than that many documents before the self-join —
+    the same stop-key skew guard as ``jaccard_pairs`` (a fingerprint in d
+    docs contributes d^2 candidates); sizes are computed on the FILTERED
+    set so containment stays consistent with the pairs it scores."""
+    if max_df is not None:
+        dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        fps = fps.join(dfc.filter(F.col("df") <= max_df).select("fp"), "fp")
+    sizes = fps.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a = fps.select(F.col(key).alias("a"), "fp")
+    b = fps.select(F.col(key).alias("b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col(key).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(key).alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("sza"), F.col("szb")), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     col: str = "text",
