@@ -24,7 +24,7 @@ if str(REPO) not in sys.path:
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from zelph_spark import canon, closure, extract, rules as Rz  # noqa: E402
-from zelph_spark.ops import dedup, similarity, textops  # noqa: E402
+from zelph_spark.ops import dedup, sampling, similarity, textops  # noqa: E402
 from zelph_spark.reasoning import evaluate_contradictions, run_fixpoint  # noqa: E402
 
 
@@ -1058,6 +1058,68 @@ ORDER BY a, b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT — the keep/drop decision step after pair
+    generation: minhash-verified pairs (threshold 0.5) -> connected
+    components (chains collapse transitively) -> canonical survivor per
+    cluster (longest doc by token count, ties to smallest id). The DuckDB
+    oracle rebuilds the same clusters with a recursive-CTE transitive
+    closure over the exact-Jaccard pair set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_verified_pairs(
+        dedup.word_shingles(d, n=2), num_hashes=64, bands=32, threshold=0.5
+    )
+    return dedup.cluster_assignments(d, pairs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS tok,
+         generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM toks
+  QUALIFY shingle IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), p AS (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+             JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE i / (sa.sz + sb.sz - i) >= 0.5
+), edges AS (
+  SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p
+), reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+), nt AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), sized AS (
+  SELECT c.node, c.comp, nt.n_tokens FROM comp c JOIN nt ON c.node = nt.doc_id
+)
+SELECT node AS doc_id,
+       FIRST_VALUE(node) OVER w AS canonical_id,
+       COUNT(*) OVER (PARTITION BY comp) AS cluster_size,
+       node = FIRST_VALUE(node) OVER w AS keep
+FROM sized
+WINDOW w AS (PARTITION BY comp ORDER BY n_tokens DESC, node ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY doc_id
+"""
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = textops.with_fingerprint(textops.with_quality_score(
@@ -1111,6 +1173,67 @@ WITH t AS (
   FROM hits
 )
 SELECT lang_pred, COUNT(*) AS n_docs FROM pred GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def q_text_tokens(spark, sf_dir):
+    """Tokenizer-efficiency audit: whitespace token count next to a BPE-ish
+    pre-tokenizer count (letter runs / digit runs / single punctuation) and
+    chars-per-token — the standard screen for binary junk and non-language
+    content before tokenizer budgeting. Pure JVM regexp_count; the oracle
+    recomputes the same counts with RE2."""
+    d = _t(spark, sf_dir, "documents")
+    out = textops.with_bpe_token_count(textops.with_token_count(d))
+    return out.select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "chars_per_token"
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_TOKENS = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(trim(text)),
+             '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+         length(lower(trim(text))) AS chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       ROUND(chars / CAST(NULLIF(n_bpe_tokens, 0) AS DOUBLE), 6) AS chars_per_token
+FROM t ORDER BY doc_id
+"""
+
+
+# Fixed training-mixture policy for the contract query: upsample nothing,
+# keep all de/zh, downsample the dominant en. Arbitrary but pinned — the
+# oracle mirrors it exactly.
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.75, "zh": 1.0}
+
+
+def q_docs_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixing: keep each
+    document iff hash(doc_id)/2^60 < rate(lang) — a pure function of the
+    key, so the sample is identical across retries, parallelism levels and
+    engines (rand() is not), with inverse-probability weights for unbiased
+    downstream aggregates. Map-only, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d, SAMPLE_RATES, group_col="lang", default_rate=0.1
+    ).select("doc_id", "lang", "sample_rate", "weight").orderBy("doc_id")
+
+
+ORACLE_DOCS_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('zelph' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS u,
+         CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                        WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.75
+                        WHEN 'zh' THEN 1.0 ELSE 0.1 END AS DOUBLE) AS sample_rate
+  FROM documents
+)
+SELECT doc_id, lang, sample_rate, ROUND(1.0 / sample_rate, 6) AS weight
+FROM s WHERE u < sample_rate ORDER BY doc_id
 """
 
 
@@ -1543,9 +1666,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
+        "docs_sample": q_docs_sample,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
         "events_sessionize": q_events_sessionize,
@@ -1586,6 +1712,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_winnow": ORACLE_DEDUP_WINNOW,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "text_tokens": ORACLE_TEXT_TOKENS,
+        "docs_sample": ORACLE_DOCS_SAMPLE,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "sim_lsh": ORACLE_SIM_LSH,
         "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,

@@ -283,3 +283,104 @@ def test_simhash_portable_rejects_wide_bits(spark):
     df = spark.createDataFrame(DUP_DOCS)
     with pytest.raises(ValueError, match="64 bits"):
         dedup.simhash(df, portable=True, bits=128)
+
+
+def test_cluster_assignments_transitive_chain(spark):
+    """a~b and b~c (a and c never paired) must land in ONE cluster; the
+    canonical survivor is the longest document, ties to smallest id;
+    unpaired documents are not emitted."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "short one",
+            "a middle length document right here",
+            "the longest document of the chain with many many tokens in it",
+            "unrelated island",
+            "twin island",
+        ],
+    })
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 4], "b": [2, 3, 5]})
+    )
+    rows = {
+        r.doc_id: (r.canonical_id, r.cluster_size, r.keep)
+        for r in dedup.cluster_assignments(
+            spark.createDataFrame(docs), pairs
+        ).collect()
+    }
+    assert rows[1] == (3, 3, False)
+    assert rows[2] == (3, 3, False)
+    assert rows[3] == (3, 3, True)
+    # the island pair: same length 2 -> tie broken by smallest id
+    assert rows[4] == (4, 2, True)
+    assert rows[5] == (4, 2, False)
+    assert set(rows) == {1, 2, 3, 4, 5}
+
+
+def test_stratified_sample_deterministic_and_exact(spark, docs):
+    """The sample is a pure function of (salt, key): two runs agree row for
+    row with a Python md5 re-computation; rate-0 groups vanish; weights are
+    the inverse rates."""
+    import hashlib
+
+    from zelph_spark.ops import sampling
+
+    rates = {"en": 0.5, "de": 1.0, "es": 0.0}
+    got = {
+        r.doc_id: (r.lang, r.sample_rate, r.weight)
+        for r in sampling.stratified_sample(
+            docs, rates, group_col="lang", default_rate=0.25
+        ).collect()
+    }
+
+    def py_u(doc_id):
+        hx = hashlib.md5(f"zelph{doc_id}".encode()).hexdigest()[:15]
+        return int(hx, 16) / float(1 << 60)
+
+    expect = {}
+    for r in docs.select("doc_id", "lang").collect():
+        rate = rates.get(r.lang, 0.25)
+        if py_u(r.doc_id) < rate:
+            expect[r.doc_id] = (r.lang, rate, round(1.0 / rate, 6))
+    assert got == expect
+    assert not any(lang == "es" for lang, _, _ in got.values())
+    assert any(lang == "de" for lang, _, _ in got.values())
+
+
+def test_split_train_holdout_stable_and_disjoint(spark, docs):
+    from zelph_spark.ops import sampling
+
+    s1 = {r.doc_id: r.split for r in sampling.split_train_holdout(
+        docs, holdout_frac=0.1).collect()}
+    s2 = {r.doc_id: r.split for r in sampling.split_train_holdout(
+        docs, holdout_frac=0.1).collect()}
+    assert s1 == s2
+    n = len(s1)
+    n_hold = sum(1 for v in s1.values() if v == "holdout")
+    assert set(s1.values()) <= {"train", "holdout"}
+    assert 0 < n_hold < n * 0.25  # ~10% of docs, deterministic
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    import re
+
+    pat = re.compile(textops.BPE_PRETOKEN_RE)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "Hello, world! It's 2026-08-19...",
+            "plain words only here",
+            "x9y8z7 !!! ???",
+        ],
+    })
+    got = {
+        r.doc_id: (r.n_bpe_tokens, r.chars_per_token)
+        for r in textops.with_bpe_token_count(
+            spark.createDataFrame(docs)
+        ).collect()
+    }
+    for row in docs.itertuples(index=False):
+        low = row.text.lower().strip()
+        n = len(pat.findall(low))
+        assert got[row.doc_id][0] == n, row.doc_id
+        assert got[row.doc_id][1] == round(len(low) / n, 6), row.doc_id

@@ -342,6 +342,53 @@ def winnow_overlap_pairs(
     )
 
 
+def cluster_assignments(
+    docs: DataFrame,
+    pairs: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs -> the keep/drop decision every dedup pipeline actually
+    needs: group pairs into connected components (a chain a~b, b~c is ONE
+    cluster even when a and c never paired directly) and pick one canonical
+    survivor per cluster — the longest document by whitespace token count,
+    ties broken by smallest key (longest-survivor is the standard web-corpus
+    policy: near-dup clusters usually contain truncated variants of one
+    full text).
+
+    Returns one row per clustered document: (doc_id, canonical_id,
+    cluster_size, keep). Unclustered documents (no near-dup pair) are not
+    emitted — they are all trivially keepers.
+
+    Scale shape: components via the canon min-propagation + pointer-jumping
+    loop (O(log n) rounds, each one equi-join + groupBy — the same machinery
+    the KG merge path runs at full corpus scale, canon.py:30); the canonical
+    pick is one map-side min(struct) aggregate per cluster, no window, no
+    global sort."""
+    from .. import canon
+
+    comp = canon.connected_components(pairs.select("a", "b"))
+    sized = comp.join(
+        docs.select(
+            F.col(key).alias("node"),
+            F.size(tokens(col)).cast("bigint").alias("n_tokens"),
+        ),
+        "node",
+    )
+    best = sized.groupBy("comp").agg(
+        F.min(F.struct((-F.col("n_tokens")).alias("neg"), F.col("node").alias("node")))[
+            "node"
+        ].alias("canonical_id"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+    )
+    return sized.join(best, "comp").select(
+        F.col("node").alias(key),
+        "canonical_id",
+        "cluster_size",
+        (F.col("node") == F.col("canonical_id")).alias("keep"),
+    )
+
+
 def simhash(
     df: DataFrame,
     col: str = "text",

@@ -32,6 +32,27 @@ def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.size(tokens(col)).cast("bigint"))
 
 
+# GPT-2-style pre-tokenizer, simplified to the subset Java regex and RE2
+# match identically: letter runs, digit runs, and single non-alphanumeric
+# non-space characters. Counts matches, so it approximates BPE token counts
+# the way tokenizer-efficiency audits do (a BPE merge table only ever splits
+# within these pre-token boundaries).
+BPE_PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def with_bpe_token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    """Approximate BPE token count: matches of the pre-tokenizer regex over
+    lowercased text, plus chars-per-token (the standard tokenizer-efficiency
+    ratio — high values flag binary junk / non-language content). Pure JVM
+    regexp_count; the oracle recomputes it with RE2's regexp_extract_all."""
+    n = F.regexp_count(F.lower(F.trim(F.col(col))), F.lit(BPE_PRETOKEN_RE))
+    chars = F.length(F.lower(F.trim(F.col(col))))
+    return df.withColumn("n_bpe_tokens", n.cast("bigint")).withColumn(
+        "chars_per_token",
+        F.round(chars / F.when(n > 0, n).otherwise(F.lit(None)), 6),
+    )
+
+
 def _hits(toks: Column, words: tuple[str, ...]) -> Column:
     """Occurrence count (not distinct) of ``words`` among tokens."""
     arr = F.array(*[F.lit(w) for w in words])
