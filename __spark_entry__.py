@@ -1204,6 +1204,109 @@ FROM t ORDER BY doc_id
 """
 
 
+# Planted PII rows for the scrub contract query (the synthetic corpus has
+# none): union'd with the real documents so the redaction path is actually
+# exercised — same planted-row pattern as dedup_embedding / multimodal.
+PII_DOCS = [
+    (
+        900000001,
+        "Contact me at john.doe+spam@example.com or visit "
+        "https://example.com/a?b=c for details",
+    ),
+    (
+        900000002,
+        "server at 192.168.1.254 and 10.0.0.1 logged admin@test.org twice",
+    ),
+    (900000003, "no pii in this one at all"),
+]
+
+
+def q_text_scrub(spark, sf_dir):
+    """PII redaction pass (URL -> <URL>, email -> <EMAIL>, IPv4 -> <IP>)
+    with a masked-span count — the standard pre-training scrub. Pure JVM
+    regexp chain, one projection, no shuffle; patterns restricted to the
+    Java/RE2-identical subset so the DuckDB oracle replays the exact same
+    replacement sequence."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    out = textops.with_pii_scrubbed(d.unionByName(planted))
+    return out.select("doc_id", "scrubbed", "n_pii").orderBy("doc_id")
+
+
+def _pii_values_sql() -> str:
+    rows = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in PII_DOCS
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS v(doc_id, text)"
+
+
+ORACLE_TEXT_SCRUB = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  {values}
+), s1 AS (
+  SELECT doc_id, lower(text) AS t FROM base
+), s2 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, 'https?://[^\s]+')) AS n1,
+         regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t1
+  FROM s1
+), s3 AS (
+  SELECT doc_id,
+         n1 + len(regexp_extract_all(t1,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS n2,
+         regexp_replace(t1, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}',
+             '<EMAIL>', 'g') AS t2
+  FROM s2
+), s4 AS (
+  SELECT doc_id,
+         n2 + len(regexp_extract_all(t2,
+             '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b')) AS n_pii,
+         regexp_replace(t2,
+             '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b',
+             '<IP>', 'g') AS scrubbed
+  FROM s3
+)
+SELECT doc_id, scrubbed, CAST(n_pii AS BIGINT) AS n_pii FROM s4 ORDER BY doc_id
+"""
+ORACLE_TEXT_SCRUB = ORACLE_TEXT_SCRUB.format(values=_pii_values_sql())
+
+
+def q_corpus_ngrams(spark, sf_dir):
+    """Corpus-level n-gram document frequency, top 20: the vocabulary /
+    boilerplate audit every corpus build runs. One explode + hash-groupBy
+    with map-side partial aggregation; the top-k is a TakeOrdered (no
+    global sort shuffle) with a total ordering (df desc, ngram asc) so the
+    cut is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, n=2)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(20)
+        .select(F.col("shingle").alias("ngram"), "df")
+    )
+
+
+ORACLE_CORPUS_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS tok,
+         generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM toks
+  QUALIFY shingle IS NOT NULL
+)
+SELECT shingle AS ngram, COUNT(*) AS df
+FROM sh GROUP BY shingle ORDER BY df DESC, ngram ASC LIMIT 20
+"""
+
+
 # Fixed training-mixture policy for the contract query: upsample nothing,
 # keep all de/zh, downsample the dominant en. Arbitrary but pinned — the
 # oracle mirrors it exactly.
@@ -1671,6 +1774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
+        "text_scrub": q_text_scrub,
+        "corpus_ngrams": q_corpus_ngrams,
         "docs_sample": q_docs_sample,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
@@ -1714,6 +1819,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow": ORACLE_DEDUP_WINNOW,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "text_tokens": ORACLE_TEXT_TOKENS,
+        "text_scrub": ORACLE_TEXT_SCRUB,
+        "corpus_ngrams": ORACLE_CORPUS_NGRAMS,
         "docs_sample": ORACLE_DOCS_SAMPLE,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "sim_lsh": ORACLE_SIM_LSH,

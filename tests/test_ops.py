@@ -384,3 +384,51 @@ def test_bpe_token_count_matches_python_re(spark):
         n = len(pat.findall(low))
         assert got[row.doc_id][0] == n, row.doc_id
         assert got[row.doc_id][1] == round(len(low) / n, 6), row.doc_id
+
+
+def test_pii_scrub_matches_python_re(spark):
+    import re
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "Mail a.b+c@foo-bar.org or see https://x.y/z?q=1 and http://plain.net",
+            "hosts 10.0.0.1 and 192.168.100.200, ping 8.8.8.8",
+            "nothing to mask here",
+            "edge: v1.2.3.4000 is a version not an ip, user@sub.domain.co",
+        ],
+    })
+    got = {
+        r.doc_id: (r.scrubbed, r.n_pii)
+        for r in textops.with_pii_scrubbed(spark.createDataFrame(docs)).collect()
+    }
+    for row in docs.itertuples(index=False):
+        t, n = row.text.lower(), 0
+        for pat, repl in textops.PII_PATTERNS:
+            n += len(re.findall(pat, t))
+            t = re.sub(pat, repl, t)
+        assert got[row.doc_id] == (t, n), row.doc_id
+    assert got[1][1] == 3 and got[2][1] == 3 and got[3][1] == 0
+    assert "<EMAIL>" in got[1][0] and "<URL>" in got[1][0]
+    assert "<IP>" in got[2][0]
+
+
+def test_corpus_ngram_df_counts(spark):
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "spark joins data fast",
+            "spark joins data slowly sometimes",
+            "spark joins everything",
+        ],
+    })
+    sh = dedup.word_shingles(spark.createDataFrame(docs), n=2)
+    df_counts = {
+        r.shingle: r.df
+        for r in sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        ).collect()
+    }
+    assert df_counts["spark joins"] == 3
+    assert df_counts["joins data"] == 2
+    assert df_counts["data fast"] == 1

@@ -99,6 +99,30 @@ def with_langid(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns, restricted to the regex subset Java and RE2 interpret
+# identically (plain classes, bounded quantifiers, \b). Order matters:
+# URLs are masked before emails so "http://a@b.com" doesn't half-match.
+PII_PATTERNS = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def with_pii_scrubbed(df: DataFrame, col: str = "text") -> DataFrame:
+    """Mask URLs, email addresses and IPv4 literals in ``col`` (the standard
+    pre-training redaction pass) and count what was masked. Adds ``scrubbed``
+    and ``n_pii``. Pure JVM regexp_replace/regexp_count chain — one
+    projection, no shuffle, no Python."""
+    low = F.lower(F.col(col))
+    n = F.lit(0)
+    out = low
+    for pat, repl in PII_PATTERNS:
+        n = n + F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn("scrubbed", out).withColumn("n_pii", n.cast("bigint"))
+
+
 def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set — the dedup-key analog of a rolling-hash sketch, exactly
