@@ -1432,6 +1432,71 @@ SELECT query_id, neighbor_id, rn FROM ranked WHERE rn <= 5
 """
 
 
+def q_sim_ivf(spark, sf_dir):
+    """IVF-probed ANN top-5 through the real scale path
+    (``similarity.topk_ivf``): disjoint cells from deterministic centroids
+    (n smallest ids — seed-free), per-vector argmin as a map-side min(struct)
+    aggregate, queries probe their 4 nearest of 16 cells, exact cosine
+    verify inside the probed cells only. Fully DuckDB-recomputable because
+    every step is pure double arithmetic in the same fold order. Ids + rank
+    only (float totals stay out of the hash, as in sim_topk/sim_lsh)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.topk_ivf(emb, q, k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+ORACLE_SIM_IVF = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS centroid_id, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 16)
+), asg AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.centroid_id ASC) AS rnk
+    FROM e CROSS JOIN cents c)
+  WHERE rnk = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT e.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.centroid_id ASC) AS pr
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5)
+  WHERE pr <= 4
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, a.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+  FROM probes p
+  JOIN asg a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, rn FROM ranked WHERE rn <= 5
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs through the REAL scale path
     (``similarity.embedding_near_dup_pairs``: multi-table LSH blocking in
@@ -1779,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample": q_docs_sample,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
+        "sim_ivf": q_sim_ivf,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -1824,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": ORACLE_DOCS_SAMPLE,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "sim_lsh": ORACLE_SIM_LSH,
+        "sim_ivf": ORACLE_SIM_IVF,
         "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,
         "multimodal_pipeline": ORACLE_MULTIMODAL,
     }

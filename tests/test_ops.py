@@ -217,6 +217,51 @@ def test_ivf_assignment_partitions_all_vectors(spark, emb):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivf_topk_recall_and_cell_discipline(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.topk_bruteforce(emb, q, k=3)
+    approx = similarity.topk_ivf(emb, q, k=3, n_centroids=8, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    # probing 3 of 8 cells scans ~3/8 of the corpus; nearest neighbors
+    # concentrate in the query's own cell, so recall is well above that
+    assert len(e & a) / len(e) >= 0.4
+    # disjoint cells -> no candidate can appear twice for one query
+    assert len(a) == len(rows)
+    # every returned neighbor must come from a probed cell of its query
+    assigned, cents = similarity.ivf_assign(emb, n_centroids=8)
+    cell = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    probes = {}
+    for r in similarity.topk_ivf(
+        emb, q, k=3, n_centroids=8, nprobe=3
+    ).collect():
+        probes.setdefault(r.query_id, set()).add(cell[r.neighbor_id])
+    assert all(len(v) <= 3 for v in probes.values())
+
+
+def test_ivf_assign_matches_window_argmin(spark, emb):
+    # the map-side min(struct) aggregate must pick the same cell as the
+    # straightforward row_number-window argmin it replaced
+    from pyspark.sql import Window
+
+    assigned, cents = similarity.ivf_assign(emb, n_centroids=8)
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "sim", similarity.cosine("embedding", "cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    ref = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    got = {(r.vec_id, r.centroid_id) for r in assigned.collect()}
+    want = {(r.vec_id, r.centroid_id) for r in ref.collect()}
+    assert got == want
+
+
 def test_embedding_near_dup_pairs_self_consistency(spark, emb):
     # duplicate a vector under a new id -> must be found with cos ~ 1
     dup = emb.limit(1).withColumn("vec_id", F.lit(999999))

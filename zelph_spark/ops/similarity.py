@@ -206,15 +206,82 @@ def ivf_assign(
     scored = embeddings.join(F.broadcast(cents)).withColumn(
         "sim", cosine(vec_col, "cvec")
     )
-    ww = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
+    # argmin as a map-side-combinable min(struct) aggregate: the broadcast
+    # join fans each vector out n_centroids-fold, but the partial aggregate
+    # collapses it back to one row per vector BEFORE the exchange — the
+    # shuffle carries |embeddings| rows, not |embeddings| * n_centroids
+    # (the previous row_number window shuffled the full fan-out). Same
+    # ordering: -sim ascending == sim descending, ties to lowest centroid
+    # (centroid_id is unique per vector so deeper struct fields never tie).
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("sim")).alias("neg_sim"),
+                F.col("centroid_id").alias("cid"),
+                F.col(vec_col).alias("vec"),
+            )
+        ).alias("b")
     )
-    assigned = (
-        scored.withColumn("rnk", F.row_number().over(ww))
-        .filter(F.col("rnk") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    assigned = best.select(
+        id_col,
+        F.col("b.vec").alias(vec_col),
+        F.col("b.cid").alias("centroid_id"),
     )
     return assigned, cents
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF cell probing: every vector lives in exactly ONE
+    cell (:func:`ivf_assign`), each query probes its ``nprobe`` nearest
+    cells, and only those cells' vectors are scored exactly.
+
+    Scale shape: candidate generation is a single equi-join on
+    ``centroid_id`` between the partitioned inverted file and the
+    broadcast (query, probed-cell) pairs — the fraction of the corpus
+    scanned per query is ~nprobe/n_centroids instead of the brute-force
+    full scan, and (unlike multi-table LSH) no dedup is needed because
+    cells are disjoint. Recall/latency trade on (n_centroids, nprobe)."""
+    assigned, cents = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qscored = q.join(F.broadcast(cents)).withColumn(
+        "sim", cosine("qvec", "cvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscored.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cand = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            "centroid_id",
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qvec", "nvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
 
 
 def embedding_near_dup_pairs(
