@@ -451,15 +451,23 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
         # ZELPH_SCALE_DOCS=8000000 ZELPH_SCALE_CORES=1,4 ZELPH_SCALE_REASON=0
         # ZELPH_PREGEN_DIR=/dev/shm/zelph-pregen python bench.py --scaling
         "scaling_recorded": {
-            "job": "construction e2e (extract->link->CC->materialize), 8M docs",
+            "job": "construction e2e (extract->link->CC->materialize), 8M/16M docs",
             "pairs": [
-                {"cores": "1->4", "sec_low": 1839.7, "sec_high": 446.6,
-                 "efficiency": 1.03},
-                {"cores": "2->8", "sec_low": 950.2, "sec_high": 328.0,
-                 "efficiency": 0.72,
-                 "note": "8 threads hit the single guest's memory-bandwidth "
-                         "wall (core-seconds flat at 1/2/4, +43% at 8); "
-                         "separate executor hosts do not share it"},
+                {"cores": "1->4", "n_docs": 16000000, "sec_low": 2248.4,
+                 "sec_high": 615.1, "efficiency": 0.914,
+                 "note": "gate PASS at 16M: 26,014 docs/s (~120k facts/s) "
+                         "at 4 cores with durable checkpoints"},
+                {"cores": "2->8", "n_docs": 16000000, "sec_low": 1116.4,
+                 "sec_high": 371.6, "efficiency": 0.751,
+                 "note": "43,056 docs/s (~199k facts/s) at 8 cores; "
+                         "per-doubling 1->2=1.00, 2->4=0.91, 4->8=0.83 — "
+                         "smooth decay toward the single guest's "
+                         "memory-bandwidth ceiling, which separate "
+                         "executor hosts do not share"},
+                {"cores": "1->4", "n_docs": 8000000, "sec_low": 1839.7,
+                 "sec_high": 446.6, "efficiency": 1.03},
+                {"cores": "2->8", "n_docs": 8000000, "sec_low": 950.2,
+                 "sec_high": 328.0, "efficiency": 0.72},
                 {"executors": "1->4 (spark-submit --py-files, standalone "
                               "master + separate 1-core/18g Worker JVMs)",
                  "sec_low": 1062.4, "sec_high": 958.8, "efficiency": 0.277,
@@ -470,7 +478,8 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
                          "bus; separate hosts add bandwidth per executor "
                          "(tools/cluster_scaling.py, BASELINE.md r5)"},
             ],
-            "source": "BASELINE.md [r5] 8M-doc scaling pairs (2026-08-18)",
+            "source": "BASELINE.md [r5] 8M-doc and 16M-doc scaling pairs "
+                      "(2026-08-18/19)",
         },
     }
     spark.stop()
