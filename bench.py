@@ -17,6 +17,10 @@ min over ``$SPARK_GRAFT_BENCH_PASSES`` (default 2) full passes, each
 reported minimum carries its bracketing probe times, and windows whose
 probes exceed 3x the run's median probe are flagged in ``host_flags`` — a
 degraded run is self-flagging instead of silently shipping bad numbers.
+After the full passes, queries whose best window was still degraded get a
+budget-bounded SALVAGE re-measure (cheapest first, only if the host probes
+healthy at that moment); min-of-passes keeps whichever window was better,
+so salvage can only improve a reading, never worsen it.
 
 ``--scaling`` mode: run the SAME e2e job at two parallelism levels
 (local[8] vs local[32] — the sandbox stand-in for N vs 4N executors,
@@ -311,6 +315,7 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
         lat = [_latency_probe(spark)]
         pyp: dict[str, float] = {"start": _python_probe(spark)}
         qt: dict[str, float] = {}
+        bracket: dict[str, tuple] = {}
         e2e = None
         for name in names:
             if name in PY_PROBED:
@@ -327,30 +332,100 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
             qt[name] = round(time.time() - t0, 3)
             if name in PY_PROBED:
                 pyp[f"{name}_after"] = _python_probe(spark)
+            before = probes[-1]
             probes.append(_host_probe(spark, INTERLEAVE_PROBE_ROWS))
+            bracket[name] = (before, probes[-1])
         lat.append(_latency_probe(spark))
         passes.append(
             {"queries": qt, "probes": probes, "e2e": e2e, "latency": lat,
-             "py_probes": pyp}
+             "py_probes": pyp, "bracket": bracket}
         )
 
     requested_passes = n_passes
+
+    def _flag_above() -> tuple[float, float]:
+        all_p = sorted(p for ps in passes for p in ps["probes"])
+        med = all_p[len(all_p) // 2]
+        return med, med * PROBE_DEGRADED_RATIO
+
+    def _best_pass(name: str) -> int:
+        inf = float("inf")
+        return min(
+            range(len(passes)),
+            key=lambda p: passes[p]["queries"].get(name, inf),
+        )
+
+    # Salvage pass: the budget guard skips pass 2 exactly when pass 1 was
+    # slow — i.e. exactly when a re-measure helps most. Instead of a full
+    # second pass, re-run ONLY the queries whose best window was degraded,
+    # cheapest first, while budget remains and the host probes healthy NOW.
+    # min-of-passes below can only improve: a salvage reading that is still
+    # slow simply loses to the original.
+    median_probe, flag_above = _flag_above()
+    salvaged: list[str] = []
+    if median_probe > PROBE_HEALTHY_MAX:
+        # whole run degraded: every reading is suspect, not just the ones
+        # whose brackets stick out above the (already-degraded) median
+        doomed_names = list(names)
+    else:
+        doomed_names = [
+            n for n in names
+            if max(passes[_best_pass(n)]["bracket"][n]) > flag_above
+        ]
+    deadline = bench_t0 + budget
+    if doomed_names and time.time() < deadline:
+        gate = _host_probe(spark, INTERLEAVE_PROBE_ROWS)
+        if gate <= min(flag_above, PROBE_HEALTHY_MAX):
+            sp = {"queries": {}, "probes": [gate], "e2e": None,
+                  "latency": [], "py_probes": {}, "bracket": {},
+                  "salvage": True}
+            passes.append(sp)
+            for name in sorted(
+                doomed_names,
+                key=lambda n: passes[_best_pass(n)]["queries"][n],
+            ):
+                est = (passes[_best_pass(name)]["queries"][name]
+                       + 2 * sp["probes"][-1] + 10)
+                if time.time() + est > deadline:
+                    continue
+                before = sp["probes"][-1]
+                if name in PY_PROBED:
+                    sp["py_probes"][f"{name}_before"] = _python_probe(spark)
+                if name == "e2e_pipeline":
+                    sp["latency"].append(_latency_probe(spark))
+                t0 = time.time()
+                if name == "e2e_pipeline":
+                    sp["e2e"] = run_e2e_pipeline(spark, sf)
+                else:
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                sp["queries"][name] = round(time.time() - t0, 3)
+                if name in PY_PROBED:
+                    sp["py_probes"][f"{name}_after"] = _python_probe(spark)
+                if name == "e2e_pipeline":
+                    sp["latency"].append(_latency_probe(spark))
+                sp["probes"].append(_host_probe(spark, INTERLEAVE_PROBE_ROWS))
+                sp["bracket"][name] = (before, sp["probes"][-1])
+                salvaged.append(name)
+            if not salvaged:
+                passes.pop()
+
     n_passes = len(passes)
     all_probes = sorted(p for ps in passes for p in ps["probes"])
     best_probe = all_probes[0]
-    median_probe = all_probes[len(all_probes) // 2]
-    flag_above = median_probe * PROBE_DEGRADED_RATIO
+    median_probe, flag_above = _flag_above()
 
     # min-of-N per query, each minimum carrying the bracketing probes that
     # certify (or condemn) the window it was measured in
     qtimes: dict[str, float] = {}
     probe_ctx: dict[str, dict] = {}
     flags: list[str] = []
-    for i, name in enumerate(names):
-        taken = min(range(n_passes), key=lambda p: passes[p]["queries"][name])
+    for name in names:
+        taken = _best_pass(name)
         ps = passes[taken]
         qtimes[name] = ps["queries"][name]
-        before, after = ps["probes"][i], ps["probes"][i + 1]
+        before, after = ps["bracket"][name]
         degraded = max(before, after) > flag_above
         probe_ctx[name] = {
             "pass": taken,
@@ -363,10 +438,13 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
                 f"{name}: best-of-{n_passes} measured in a degraded window "
                 f"(probes {before}/{after} s vs run-median {median_probe} s)"
             )
-    if n_passes < requested_passes:
+    full_passes = sum(1 for p in passes if not p.get("salvage"))
+    if full_passes < requested_passes:
         flags.append(
-            f"budget guard: only {n_passes}/{requested_passes} passes ran "
-            f"(pass 1 exceeded half of the {budget:.0f}s budget)"
+            f"budget guard: only {full_passes}/{requested_passes} full "
+            f"passes ran (pass 1 exceeded half of the {budget:.0f}s budget)"
+            + (f"; salvage pass re-measured {salvaged} in a healthy window"
+               if salvaged else "")
         )
     if not launch_healthy:
         flags.append(
@@ -387,7 +465,7 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
     # Python-worker axis: flag each Arrow-UDF query whose BEST pass ran
     # between degraded python probes even if every JVM probe read healthy
     for name in sorted(PY_PROBED):
-        taken = min(range(n_passes), key=lambda p: passes[p]["queries"][name])
+        taken = _best_pass(name)
         pyp = passes[taken]["py_probes"]
         worst = max(pyp[f"{name}_before"], pyp[f"{name}_after"])
         if worst > PY_PROBE_HEALTHY_MAX:
@@ -397,7 +475,10 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
                 "Arrow-UDF stages ran in a python-side degraded window the "
                 "JVM probes cannot see"
             )
-    e2e_pass = min(range(n_passes), key=lambda p: passes[p]["e2e"]["sec"])
+    e2e_pass = min(
+        range(n_passes),
+        key=lambda p: (passes[p]["e2e"] or {"sec": float("inf")})["sec"],
+    )
     e2e_lat = max(passes[e2e_pass]["latency"][-2:])
     if e2e_lat > LATENCY_HEALTHY_MAX:
         flags.append(
@@ -408,7 +489,10 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
             "overstates engine cost in this window"
         )
 
-    e2e = min((p["e2e"] for p in passes), key=lambda e: e["sec"])
+    e2e = min(
+        (p["e2e"] for p in passes if p["e2e"] is not None),
+        key=lambda e: e["sec"],
+    )
     total = round(sum(qtimes.values()), 3)
     out = {
         "metric": "zelph_spark_headline_total",
@@ -421,6 +505,7 @@ def run_bench(sf_dir: str, cpus: str, n_passes: int = 2) -> dict:
         "cpus": cpus,
         "host_probe_sec": host_probe,
         "n_passes": n_passes,
+        "salvaged": salvaged,
         "probe_rows": INTERLEAVE_PROBE_ROWS,
         "probe_best_sec": best_probe,
         "probe_median_sec": median_probe,

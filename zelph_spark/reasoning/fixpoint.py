@@ -525,7 +525,7 @@ def _run_fixpoint_inner(
         delta_paths.append(path)
 
     def anti_targets(extra=None):
-        """The current known-fact set as separate anti-join targets:
+        r"""The current known-fact set as separate anti-join targets:
         bucketed base (exchange- and sort-free side) + accumulated deltas
         (the only part that still shuffles) [+ the sibling delta when the
         closure lands second]. (A \ (B u C)) == (A \ B) \ C."""
