@@ -56,42 +56,64 @@ def transitive_closure(
     within a group, so one driver loop closes MANY independent relations at
     once: per-round job count stays constant in the group count and rounds
     are log(max diameter over groups). Used by the fixpoint's transitive-
-    predicate acceleration."""
+    predicate acceleration.
+
+    [r6] Two structural costs of the original loop removed (guide §2.3/§2.4):
+
+    - ``reach`` was ``union(...).localCheckpoint()``-ed EVERY round — an
+      O(rounds x |closure|) serial re-copy of the whole result (at sf1.0
+      kg_closure that is 8 copies of a 2.3M-row table). ``reach`` is now the
+      plain union of per-round checkpointed delta pieces — nothing is ever
+      re-materialized.
+    - doubling rounds joined ``reach x reach``, regenerating every known
+      pair O(depth) times (~21M candidate rows/round at sf1.0 before the
+      dedup). They now join ``delta x reach`` ("smart" TC): complete because
+      any pair at distance L in (hi, 2*hi] splits at the exact-distance-hi
+      midpoint m — d(subj,m) = hi puts (subj,m) in the last delta (range
+      (lo, hi]) and d(m,obj) = L - hi <= hi puts (m,obj) in reach. Candidate
+      volume drops to |new paths| x avg-degree instead of |reach| x
+      avg-degree."""
     group = tuple(group)
     cols = [*group, *PAIR]
     base = (
         pairs if prepared else pairs.select(*cols).distinct().localCheckpoint()
     )
-    reach = base
-    frontier = base
+    pieces = [base]  # reach = union of pieces; each piece checkpointed once
+
+    def reach_df():
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    delta = base
     for rnd in range(max_iter):
         if method == "auto":
             doubling = rnd >= AUTO_SWITCH_ROUND
         else:
             doubling = method == "doubling"
-        left = reach if doubling else frontier
-        # rename the build side instead of DataFrame aliases: frontier and
+        # rename the build side instead of DataFrame aliases: delta and
         # base can be the SAME checkpointed plan, and alias-based self-joins
         # hit attribute-reuse resolution failures (key not found: subj#N)
-        right = (reach if doubling else base).select(
+        right = (reach_df() if doubling else base).select(
             *[F.col(g).alias(f"_g_{g}") for g in group],
             F.col("subj").alias("_rs"),
             F.col("obj").alias("_ro"),
         )
-        on = left["obj"] == right["_rs"]
+        on = delta["obj"] == right["_rs"]
         for g in group:
-            on = on & (left[g] == right[f"_g_{g}"])
+            on = on & (delta[g] == right[f"_g_{g}"])
         step = (
-            left.join(right, on)
+            delta.join(right, on)
             .select(*group, "subj", F.col("_ro").alias("obj"))
             .distinct()
         )
-        new = step.join(reach, on=cols, how="left_anti").localCheckpoint()
+        new = step.join(reach_df(), on=cols, how="left_anti").localCheckpoint()
         if new.isEmpty():
-            return reach
-        reach = reach.unionByName(new).localCheckpoint()
-        frontier = new
-    return reach
+            return reach_df()
+        pieces.append(new)
+        delta = new
+    return reach_df()
 
 
 def closure_with_start(pairs: DataFrame, prepared: bool = False) -> DataFrame:

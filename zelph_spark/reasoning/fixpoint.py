@@ -195,6 +195,102 @@ def split_transitive(rules: list[Rule]):
                            memberships=memberships)
 
 
+@dataclass(frozen=True)
+class InheritSpec:
+    """A factored chain-inheritance rule (?K p ?P),(?X s ?K) => (?X p ?P)."""
+
+    rule_id: str
+    p: object  # inherited predicate (constant; string or long id)
+    s: object  # chain predicate (constant; p != s)
+
+
+def split_inherit(rules: list[Rule]):
+    """Factor chain-inheritance rules out of a ruleset (r6, guide §1.2 "fix
+    the distributed algorithm first").
+
+    Shape: ``(?K p ?P), (?X s ?K) => (?X p ?P)`` with constant ``p != s``
+    (e.g. wikidata.zph's has-part-inherits-through-subclass). The rule is
+    LINEAR RECURSION through p over the (eventually static) s relation, so
+    the semi-naive loop extends it ONE s-hop per round — on the 200k-doc
+    corpus the saturated subclass graph has chain depth 53, which made this
+    single rule ~45 of the 56 fixpoint rounds and ~3.1M of 4.2M derived
+    facts. The factored evaluation computes the complete image in one shot:
+    ``s+ ⨝ p-facts`` (s+ = transitive closure of the s slice, computed
+    internally, never emitted as facts), injected at positive quiescence.
+    Confluence of positive Datalog makes any such schedule reach the
+    identical fixpoint; the injection only derives facts derivable by
+    repeated application of the factored rule.
+
+    Guards: negation, inequality, contradiction, extra consequences and
+    fresh variables disqualify; p == s is plain transitivity (split_transitive
+    territory), repeated variables inside a condition disqualify.
+    Returns (rest, specs)."""
+    rest: list = []
+    specs: list[InheritSpec] = []
+    for r in rules:
+        if (
+            r.negated or r.unequals or r.is_contradiction
+            or r.extra_consequences or r.fresh_vars or len(r.conditions) != 2
+        ):
+            rest.append(r)
+            continue
+        matched = False
+        for cp, cs in (r.conditions, r.conditions[::-1]):
+            # cp = (?K p ?P), cs = (?X s ?K)
+            if is_var(cp.pred) or is_var(cs.pred) or cp.pred == cs.pred:
+                continue
+            k, p_, v = cp.subj, cp.pred, cp.obj
+            x, s_, k2 = cs.subj, cs.pred, cs.obj
+            if not all(is_var(t) for t in (k, v, x, k2)):
+                continue
+            if k2 != k or len({k, v, x}) != 3:
+                continue
+            c = r.consequence
+            if (c.subj, c.pred, c.obj) == (x, p_, v):
+                specs.append(InheritSpec(r.rule_id, p_, s_))
+                matched = True
+                break
+        if not matched:
+            rest.append(r)
+    return rest, specs
+
+
+def _var_pred_guards(rules: list[Rule]):
+    """For each rule with a variable in a PRED position, find a condition
+    binding that variable with TWO constants (e.g. ``(?R ISA TRANSITIVE)``):
+    the variable's domain is then the (tiny, driver-trackable) subject/object
+    set of that constant slice, and the rule can fire only if
+    domain ∩ present-preds is non-empty. The wikidata `transitive` meta-rule
+    never fires on corpora with no transitive-declared predicate carrying
+    facts, yet its 3 delta positions cost ~6 full-extent scans per round —
+    this guard skips the whole rule from the driver (r6).
+
+    Returns (guards, pairs): guards = {rule_id: [(cp, co, side), ...]},
+    pairs = ordered list of distinct (cp, co, side) watched slices."""
+    guards: dict[str, list] = {}
+    pairs: list = []
+    for r in rules:
+        pred_vars = {c.pred for c in r.conditions if is_var(c.pred)}
+        if not pred_vars:
+            continue
+        for v in pred_vars:
+            for i in r.positive:
+                c = r.conditions[i]
+                if is_var(c.pred):
+                    continue
+                key = None
+                if c.subj == v and not is_var(c.obj):
+                    key = (c.pred, c.obj, "subj")
+                elif c.obj == v and not is_var(c.subj):
+                    key = (c.pred, c.subj, "obj")
+                if key is not None:
+                    guards.setdefault(r.rule_id, []).append(key)
+                    if key not in pairs:
+                        pairs.append(key)
+                    break
+    return guards, pairs
+
+
 def _materialize(df: DataFrame, scratch: str | None, name: str) -> DataFrame:
     """Cut lineage AND reset Catalyst size statistics.
 
@@ -434,8 +530,40 @@ def _run_fixpoint_inner(
     tsplit = split_transitive(positive) if transitive_doubling else None
     if tsplit is not None:
         positive = tsplit.rest
+    # [r6] chain-inheritance factoring (split_inherit docstring): the
+    # factored rules leave the per-round machinery entirely and are applied
+    # as complete closure images at positive quiescence. Default ON
+    # (measured: collapses the 56-round / 496 s sf1.0 e2e fixpoint tail);
+    # ZELPH_INHERIT_DOUBLING=0 restores the plain loop.
+    inherit_specs: list[InheritSpec] = []
+    if _os.environ.get("ZELPH_INHERIT_DOUBLING", "1") == "1":
+        positive, inherit_specs = split_inherit(positive)
     groups = fuse_rules(positive) if fuse else None
     per_rule = groups.leftover if groups is not None else positive
+    # [r6] variable-predicate domain guards (_var_pred_guards docstring):
+    # domains ride the delta-write Observation, so keeping them current
+    # costs zero extra jobs after the one base aggregate below.
+    guard_map, guard_pairs = _var_pred_guards(per_rule + naf_rules)
+    guard_doms: dict = {k: set() for k in guard_pairs}
+
+    def _guard_metrics():
+        out = []
+        for i, (cp, co, side) in enumerate(guard_pairs):
+            other = "obj" if side == "subj" else "subj"
+            out.append(
+                F.collect_set(
+                    F.when(
+                        (F.col("pred") == F.lit(cp))
+                        & (F.col(other) == F.lit(co)),
+                        F.col(side),
+                    )
+                ).alias(f"_guard{i}")
+            )
+        return out
+
+    def _guard_update(row):
+        for i, key in enumerate(guard_pairs):
+            guard_doms[key].update(row[f"_guard{i}"])
 
     # --- transitive-closure acceleration (see run_fixpoint docstring) ---
     tset: set = set(tsplit.const_preds) if tsplit else set()
@@ -477,9 +605,19 @@ def _run_fixpoint_inner(
         )
         return [transitive_closure(sl, group=("pred",)).select(*EDGE_COLS)]
 
+    def _guard_ok(rule):
+        """Conservative var-pred domain check: skip a rule only when some
+        pred-variable's (driver-tracked) domain shares nothing with the
+        predicates that have facts — it provably cannot fire."""
+        for key in guard_map.get(rule.rule_id, ()):
+            if not (guard_doms[key] & present):
+                return False
+        return True
+
     def fire_all(full, delta=None, delta_preds=None, present=None):
         outs = []
-        pr = _fire_positive(per_rule, full, delta, delta_preds,
+        pr = _fire_positive([r for r in per_rule if _guard_ok(r)],
+                            full, delta, delta_preds,
                             present_preds=present)
         if pr is not None:
             outs.append(pr)
@@ -555,6 +693,7 @@ def _run_fixpoint_inner(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.collect_set("pred").alias("preds"),
+            *_guard_metrics(),
         )
         path = f"{scratch}/{name}"
         # REBALANCE: let AQE size the output files — without it the anti-join
@@ -562,6 +701,7 @@ def _run_fixpoint_inner(
         # rounds x partitions tiny files per rule branch when scanning `full`
         out.hint("rebalance").write.mode("overwrite").parquet(path)
         m = obs.get
+        _guard_update(m)
         return spark.read.parquet(path), path, m["n"], set(m["preds"])
 
     def materialize_round(cand_rules, clo_cands, targets, name):
@@ -597,11 +737,35 @@ def _run_fixpoint_inner(
 
     import time as _time
 
+    debug_preds = _os.environ.get("ZELPH_FIXPOINT_DEBUG") == "1"
+
+    def _debug_pred_counts(d):
+        """Measurement-only (ZELPH_FIXPOINT_DEBUG=1): per-pred delta counts
+        into the log — one extra tiny job per round, never on by default."""
+        if not debug_preds or d is None:
+            return None
+        return {
+            str(r.pred): r.n
+            for r in d.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
     full = base
     log: list[dict] = []
     iterations = 0
     total_new = 0
     present = _distinct_preds(base)  # O2 extent restriction, kept current
+    # Inheritance-injection bookkeeping: a spec re-injects when its s slice
+    # changed (closure invalid -> FULL re-image) or when OTHER rules landed
+    # new p facts since its last injection (incremental image over exactly
+    # those delta files). An injection's own output is inherit-closed, so it
+    # never re-triggers the spec — unless another spec shares the same p
+    # (cross-composition needs the ping-pong).
+    inherit_clo: dict = {}  # s -> checkpointed s+ closure, reused until s changes
+    inherit_full_needed = {sp: True for sp in inherit_specs}
+    inherit_pending: dict = {sp: [] for sp in inherit_specs}
+    just_injected: set = set()
+    if guard_pairs:
+        _guard_update(base.agg(*_guard_metrics()).collect()[0])
 
     # classic first pass (reasoning_seminaive.cpp:236-242)
     _t0 = _time.time()
@@ -624,17 +788,108 @@ def _run_fixpoint_inner(
         iterations += 1
         entry = {"iter": iterations, "stratum": "positive", "new": n_delta,
                  "sec": round(_time.time() - _t0, 2)}
+        if debug_preds:
+            entry["pred_counts"] = _debug_pred_counts(delta)
         if plan_sec is not None:
             entry["plan_sec"] = plan_sec
             plan_sec = None
         log.append(entry)
         _t0 = _time.time()
         if n_delta == 0:
-            # positive quiescence -> deferred NAF stratum (R9)
+            # positive quiescence -> pending chain-inheritance images first
+            # (split_inherit): complete s+ ⨝ p-facts in ONE injected delta
+            # instead of one s-hop per round. A non-empty injection re-opens
+            # the positive stratum exactly like a NAF delta.
+            todo = [
+                sp for sp in inherit_specs
+                if (inherit_full_needed[sp] or inherit_pending[sp])
+                and sp.p in present and sp.s in present
+            ]
+            if todo:
+                from ..closure import transitive_closure
+
+                _ti = _time.time()
+                clo_sec = 0.0
+                cands = []
+                todo_full = [inherit_full_needed[sp] for sp in todo]
+                for sp in todo:
+                    clo = inherit_clo.get(sp.s)
+                    if clo is None:
+                        # the loop's size-first AQE coalescing (right for the
+                        # tiny tail-round shuffles) starves the closure's
+                        # multi-million-row self-joins of parallelism —
+                        # measured 59.7 s vs 21.2 s standalone on the same
+                        # 87k-edge slice; restore parallelism-first for the
+                        # closure computation only
+                        _pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+                        spark.conf.set(_pf, "true")
+                        _tc = _time.time()
+                        try:
+                            clo = transitive_closure(
+                                full.filter(
+                                    F.col("pred") == F.lit(sp.s)
+                                ).select("subj", "obj")
+                            )
+                        finally:
+                            spark.conf.set(_pf, "false")
+                        clo_sec += _time.time() - _tc
+                        inherit_clo[sp.s] = clo
+                    if inherit_full_needed[sp]:
+                        src = full.filter(F.col("pred") == F.lit(sp.p))
+                    else:
+                        # incremental: only p facts landed since this spec's
+                        # last injection can produce unseen image rows
+                        src = spark.read.parquet(
+                            *inherit_pending[sp]
+                        ).filter(F.col("pred") == F.lit(sp.p))
+                    src = src.select(
+                        F.col("subj").alias("_k"), F.col("obj").alias("obj")
+                    )
+                    cands.append(
+                        clo.select("subj", F.col("obj").alias("_k"))
+                        .join(src, "_k")
+                        .select(
+                            "subj", F.lit(sp.p).alias("pred"), "obj"
+                        )
+                    )
+                    inherit_full_needed[sp] = False
+                    inherit_pending[sp] = []
+                # an injection's output is inherit-closed for its OWN spec,
+                # so the spec skips its own delta — EXCEPT when another spec
+                # with the same p was co-injected this round: each needs the
+                # other's new p facts, so shared-p specs keep ping-ponging
+                # through pending until both quiesce
+                _shared_p = {
+                    p for p in (sp.p for sp in todo)
+                    if sum(1 for sp in todo if sp.p == p) > 1
+                }
+                just_injected = {sp for sp in todo if sp.p not in _shared_p}
+                inh_new, ipath, n_inh, inh_preds = materialize_new(
+                    _union_all(cands), anti_targets(), f"inherit_{iterations}"
+                )
+                # timing under "inject_sec", NOT "sec": the injection time is
+                # already inside the next positive entry's round timer, and
+                # bench.py's fixpoint_secs sums "sec" over iter entries —
+                # a "sec" here would double-count
+                log.append(
+                    {"iter": iterations, "stratum": "inherit", "new": n_inh,
+                     "inject_sec": round(_time.time() - _ti, 2),
+                     "clo_sec": round(clo_sec, 2),
+                     "specs": [
+                         f"{sp.rule_id}:{'full' if fn else 'incr'}"
+                         for sp, fn in zip(todo, todo_full)
+                     ]}
+                )
+                if n_inh:
+                    delta, dpaths, n_delta = inh_new, [ipath], n_inh
+                    delta_preds = rule_preds = inh_preds
+                    continue
+            # -> deferred NAF stratum (R9)
             if not naf_rules:
                 break
             naf_new, npath, n_naf, naf_preds = materialize_new(
-                _fire_positive(naf_rules, full, present_preds=present),
+                _fire_positive([r for r in naf_rules if _guard_ok(r)],
+                               full, present_preds=present),
                 anti_targets(), f"naf_{iterations}",
             )
             log.append({"iter": iterations, "stratum": "naf", "new": n_naf})
@@ -664,6 +919,13 @@ def _run_fixpoint_inner(
                 prev_cached_full.unpersist(blocking=False)
             prev_cached_full = full
         present |= delta_preds
+        for sp in inherit_specs:
+            if sp.p in delta_preds and sp not in just_injected:
+                inherit_pending[sp].extend(dpaths)
+            if sp.s in delta_preds:
+                inherit_clo.pop(sp.s, None)
+                inherit_full_needed[sp] = True
+        just_injected = set()
         _tp = _time.time()
         if semi_naive:
             # broadcast the delta side when it is small: every rule-position
