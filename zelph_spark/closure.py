@@ -148,18 +148,31 @@ def transitive_targets(
         .distinct()
         .localCheckpoint()
     )
-    visited = frontier
+    # visited = union of per-round checkpointed pieces (r6, same fix as
+    # transitive_closure: the old per-round union+localCheckpoint re-copied
+    # the whole visited set every round)
+    pieces = [frontier]
+
+    def visited_df():
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     for _ in range(max_iter):
         step = (
             frontier.join(base, frontier.node == base.subj)
             .select("start", F.col("obj").alias("node"))
             .distinct()
         )
-        new = step.join(visited, on=["start", "node"], how="left_anti").localCheckpoint()
+        new = step.join(
+            visited_df(), on=["start", "node"], how="left_anti"
+        ).localCheckpoint()
         if new.isEmpty():
             break
-        visited = visited.unionByName(new).localCheckpoint()
+        pieces.append(new)
         frontier = new
+    visited = visited_df()
     if include_start:
         seeds = start.select(
             F.col("node").alias("start"), F.col("node").alias("node")

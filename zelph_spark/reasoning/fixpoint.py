@@ -470,6 +470,12 @@ def run_fixpoint(
         "spark.sql.adaptive.enabled":
             "false" if os.environ.get("ZELPH_FIXPOINT_AQE") == "0" else "true",
     }
+    # conf.get(k, None) returns None for keys never EXPLICITLY set (it does
+    # not fall back to the registered default), so restore must UNSET those
+    # keys — the old `if v is not None: set(v)` silently left the loop's
+    # size-first coalescing active for the rest of the session, starving
+    # every later query's shuffles of parallelism (r6 root-cause of
+    # dedup_minhash reading 92 s in-bench vs 15-22 s in a fresh session)
     old = {k: spark.conf.get(k, None) for k in loop_conf}
     for k, v in loop_conf.items():
         spark.conf.set(k, v)
@@ -482,6 +488,8 @@ def run_fixpoint(
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
         # every returned DataFrame is rooted at localCheckpointed RDDs
         # (full/base), never at the scratch parquet files
         shutil.rmtree(scratch, ignore_errors=True)
