@@ -71,11 +71,22 @@ def test_salvage_remeasures_degraded_queries(bench_env, monkeypatch):
     assert out["n_passes"] == 2  # 1 full + 1 salvage
     for name in doomed:
         ctx = out["probe_ctx"][name]
-        assert ctx["pass"] == 1, name  # the salvage pass won
-        assert ctx["degraded_window"] is False, name
-    # no per-query degraded flags survive for the salvaged queries
-    for flag in out["host_flags"]:
-        assert not any(flag.startswith(f"{n}:") for n in doomed), flag
+        # min-of-passes keeps whichever real timing was smaller; the salvage
+        # reading can only improve the result, never worsen it. When the
+        # salvage window won, its healthy probes clear the degraded flag;
+        # when the (degraded-window) pass-0 reading was genuinely smaller,
+        # the flag must survive with it.
+        assert ctx["pass"] in (0, 1), name
+        if ctx["pass"] == 1:
+            assert ctx["degraded_window"] is False, name
+            assert not any(
+                f.startswith(f"{name}:") for f in out["host_flags"]
+            ), name
+        else:
+            assert ctx["degraded_window"] is True, name
+            assert any(
+                f.startswith(f"{name}:") for f in out["host_flags"]
+            ), name
     # non-doomed queries kept their pass-0 readings
     assert out["probe_ctx"][bench.HEADLINE[0]]["pass"] == 0
 
