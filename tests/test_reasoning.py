@@ -362,3 +362,27 @@ def test_inherit_factoring_differential(spark, monkeypatch):
     # the factored loop quiesces in far fewer rounds than the chain depth
     assert fast.iterations < slow.iterations
     assert verify_fixpoint(fast, Rz.wikidata_rules())
+
+
+def test_fuse_shape_mode_differential(spark, monkeypatch):
+    """[r6] The per-shape fused evaluation (new default — measured faster
+    at both 300k- and 4.4M-fact scales) and the packed all-shapes variant
+    must produce identical fixpoints on a corpus that exercises every pair
+    shape in the wikidata ruleset plus singles, NAF-free recursion and the
+    inheritance interleaving."""
+    chain = [(f"N{i}", "P279", f"N{i+1}") for i in range(6)]
+    facts = sorted(
+        set(chain)
+        | {("N6", "P527", "PARTX"), ("PARTX", "P31", "KX"),
+           ("N0", "P31", "K0"), ("F0", "P1269", "N3"),
+           ("A", "P461", "B"), ("A", "P31", "KA"),
+           ("C", "P1696", "D"), ("C", "P31", "KC")}
+    )
+    edges = _df(spark, facts)
+    monkeypatch.setenv("ZELPH_FUSE_ALL_SHAPES", "0")
+    per_shape = run_fixpoint(edges, Rz.wikidata_rules())
+    monkeypatch.setenv("ZELPH_FUSE_ALL_SHAPES", "1")
+    all_shapes = run_fixpoint(edges, Rz.wikidata_rules())
+    got = _edge_set(per_shape.edges)
+    assert got == _edge_set(all_shapes.edges)
+    assert got == oracle.stratified_fixpoint(set(facts), Rz.wikidata_rules())

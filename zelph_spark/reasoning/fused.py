@@ -361,13 +361,18 @@ def fire_fused(
 
     import os
 
-    # Default ON: same execution time measured at sf0.1 (interleaved A/B:
-    # 7.11/6.49/13.17 per-shape vs 7.43/6.68/13.09 all-shapes — window
-    # noise dominates), ~2x cheaper plan construction (12-round build:
-    # 12.5-14 s per-shape cached -> 6.6-8.2 s), and at scale the probe
-    # side is scanned ONCE at 2x rows instead of once per shape at 1x —
-    # fewer full-extent passes. ZELPH_FUSE_ALL_SHAPES=0 restores per-shape.
-    all_shapes = os.environ.get("ZELPH_FUSE_ALL_SHAPES", "1") == "1"
+    # Default OFF (r6 re-measurement at two scales, order-controlled A/B):
+    # the all-shapes probe explode carries 2x rows through ONE join with a
+    # wider (pb, j2-tag string, key) key, and that costs more than the
+    # extra per-shape branches save — taxonomy fixpoint 300k facts: 8.1 s
+    # per-shape vs 9.2 all-shapes warm (empty round 1.9 vs 3.3 s); e2e
+    # 200k-doc fixpoint 4.4M facts: 76.3/78.4 s per-shape vs 92.4/114.4
+    # all-shapes (both leg orders, identical outputs 924,853/4,423,929).
+    # Shape count is bounded at 4, so per-shape plan construction stays
+    # constant-size in the RULE count either way — the r5 motivation for
+    # fusing (S5 thousand-rule sets) is preserved by the rules table, not
+    # by the shape packing. ZELPH_FUSE_ALL_SHAPES=1 restores all-shapes.
+    all_shapes = os.environ.get("ZELPH_FUSE_ALL_SHAPES", "0") == "1"
     outs = []
     if delta is None:
         outs.append(fire_single(full, keep(groups.single, ["pa"])))
