@@ -1439,7 +1439,14 @@ def q_sim_ivf(spark, sf_dir):
     aggregate, queries probe their 4 nearest of 16 cells, exact cosine
     verify inside the probed cells only. Fully DuckDB-recomputable because
     every step is pure double arithmetic in the same fold order. Ids + rank
-    only (float totals stay out of the hash, as in sim_topk/sim_lsh)."""
+    only (float totals stay out of the hash, as in sim_topk/sim_lsh).
+
+    PRECONDITION (ADVICE r5, documented rather than patched — the oracle
+    text is hash-frozen): no zero-norm vectors/centroids. A zero norm makes
+    cosine NaN, which ranks first under the oracle's row_number(sim DESC)
+    but last under the engine's min(struct) argmin; the formulations agree
+    exactly while all norms are positive, which holds for every driver and
+    test corpus (synthetic embeddings are unit-offset gaussians)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )

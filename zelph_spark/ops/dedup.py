@@ -71,15 +71,24 @@ def jaccard_pairs(
     ``max_df`` drops shingles occurring in more than that many documents
     before the self-join — the stop-shingle skew guard (a shingle in d docs
     contributes d^2 candidate pairs)."""
-    sh = shingles
+    # [r6] same fan-out discipline as winnow_overlap_pairs: the shingle
+    # explode feeds df count + df-filter join + sizes + both self-join
+    # sides; cache it once (count() populates it eagerly — concurrent
+    # branches of a single-action plan would otherwise all miss) instead
+    # of re-running the tokenize+explode per consumer, and release it
+    # after the (small) result materializes.
+    sh = shingles.cache()
+    sh.count()
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
+        kept = sh.join(
             df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
         )
-    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(key).alias("a"), "shingle")
-    b = sh.select(F.col(key).alias("b"), "shingle")
+    else:
+        kept = sh
+    sizes = kept.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col(key).alias("a"), "shingle")
+    b = kept.select(F.col(key).alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
@@ -97,7 +106,8 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-    )
+    ).localCheckpoint()
+    sh.unpersist()
     return out
 
 
@@ -302,24 +312,48 @@ def winnow_fingerprints(
     chosen over xxhash64 so the DuckDB correctness oracle can recompute
     the exact fingerprint set cross-engine (same trick as portable
     simhash)."""
+    # [r6] posexplode + window formulation instead of nested array
+    # transform() lambdas. Catalyst higher-order functions evaluate their
+    # lambda INTERPRETED per element (guide §4.2), and the per-k-gram body
+    # here (slice + array_join + md5 + substring + conv) made the old
+    # projection the whole cost of the operator: 119 s for 50k docs at
+    # replica sf1.0 while the fingerprint JOIN moved <1M rows. The same
+    # math as flat per-row expressions (whole-stage codegen) + two windows
+    # over (key, pos) — the exact shape ORACLE_DEDUP_WINNOW runs in DuckDB,
+    # so equivalence is literal — costs one shuffle by key and runs in ~4 s
+    # on the same input. Fingerprint VALUES are bit-identical: gram =
+    # null-propagating concat of k tokens (== array_join over a full
+    # slice), window min over [rn, rn+w-1], kept rows rn <= ng-w+1 plus
+    # the degenerate single-window rule for ng < w.
+    from pyspark.sql import Window
+
     toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    hashes = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 15),
-            16,
-            10,
-        ).cast("long"),
+    t = df.select(F.col(key), F.posexplode(toks).alias("pos", "tok"))
+    dw = Window.partitionBy(key).orderBy("pos")
+    gram_parts = [F.col("tok")]
+    for i in range(1, k):
+        gram_parts += [F.lit(" "), F.lead("tok", i).over(dw)]
+    g = t.select(
+        F.col(key), F.col("pos"), F.concat(*gram_parts).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    h = g.select(
+        F.col(key),
+        F.col("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
     )
-    ng = F.size(hashes)
-    wins = F.sequence(F.lit(0), F.greatest(ng - w, F.lit(0)))
-    fps = F.array_distinct(
-        F.transform(wins, lambda j: F.array_min(F.slice(hashes, j + 1, w)))
+    rn = F.row_number().over(dw)
+    ng = F.count(F.lit(1)).over(Window.partitionBy(key))
+    win_min = F.min("hv").over(dw.rowsBetween(0, w - 1))
+    z = h.select(
+        F.col(key), rn.alias("rn"), ng.alias("ng"), win_min.alias("fp")
     )
-    guarded = F.when(n >= k, fps).otherwise(F.array().cast("array<bigint>"))
-    return df.select(F.col(key), F.explode(guarded).alias("fp"))
+    kept = z.filter(
+        (F.col("rn") <= F.col("ng") - w + 1)
+        | ((F.col("ng") < w) & (F.col("rn") == 1))
+    )
+    return kept.select(F.col(key), "fp").dropDuplicates([key, "fp"])
 
 
 def winnow_overlap_pairs(
@@ -337,12 +371,29 @@ def winnow_overlap_pairs(
     the same stop-key skew guard as ``jaccard_pairs`` (a fingerprint in d
     docs contributes d^2 candidates); sizes are computed on the FILTERED
     set so containment stays consistent with the pairs it scores."""
+    # [r6] the fingerprint projection upstream is expensive (one md5 + hex
+    # conv per k-gram) and this function fans it out FIVE ways (df count,
+    # df-filter join, sizes, both self-join sides) — the lazy plan re-ran
+    # the whole projection per consumer (measured at 50k docs: 160-306 s).
+    # cache() keeps the logical plan (AQE size stats -> the sizes joins
+    # stay broadcast) while computing the explode once; the final
+    # localCheckpoint materializes the (small) result so the cache can be
+    # released before returning — same discipline as minhash_verified_pairs.
+    # The count() is what makes the cache real: in a single-action plan all
+    # five branches run CONCURRENTLY in one job and would each recompute
+    # the projection before any cached partition lands; one eager pass
+    # populates the InMemoryRelation (with real size stats, so the sizes
+    # joins keep their broadcast) and every branch then reads it.
+    fps = fps.cache()
+    fps.count()
     if max_df is not None:
         dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-        fps = fps.join(dfc.filter(F.col("df") <= max_df).select("fp"), "fp")
-    sizes = fps.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
-    a = fps.select(F.col(key).alias("a"), "fp")
-    b = fps.select(F.col(key).alias("b"), "fp")
+        kept = fps.join(dfc.filter(F.col("df") <= max_df).select("fp"), "fp")
+    else:
+        kept = fps
+    sizes = kept.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col(key).alias("a"), "fp")
+    b = kept.select(F.col(key).alias("b"), "fp")
     shared = (
         a.join(b, "fp")
         .filter(F.col("a") < F.col("b"))
@@ -350,7 +401,7 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    return (
+    out = (
         shared.join(sizes.select(F.col(key).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(key).alias("b"), F.col("sz").alias("szb")), "b")
         .select(
@@ -361,7 +412,9 @@ def winnow_overlap_pairs(
                 F.col("n_shared") / F.least(F.col("sza"), F.col("szb")), 6
             ).alias("containment"),
         )
-    )
+    ).localCheckpoint()
+    fps.unpersist()
+    return out
 
 
 def cluster_assignments(
@@ -475,6 +528,10 @@ def simhash_near_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = -(-64 // n_chunks)  # ceil
     mask = (1 << chunk_bits) - 1
+    # [r6] materialize the (tiny, one-row-per-doc) simhash table once: the
+    # 64-way sign-sum aggregation upstream was otherwise recomputed for
+    # EACH side of the chunk self-join — the dominant cost of the op
+    sims = sims.localCheckpoint()
     chunks = sims.select(
         F.col(key),
         "simhash",
@@ -494,12 +551,19 @@ def simhash_near_pairs(
     ).select(F.col(key), "simhash", "cc.chunk", "cc.val")
     l = chunks.select(F.col(key).alias("a"), F.col("simhash").alias("ha"), "chunk", "val")
     r = chunks.select(F.col(key).alias("b"), F.col("simhash").alias("hb"), "chunk", "val")
-    cands = (
+    # [r6] verify Hamming BEFORE the candidate dedup: with b-bit chunk
+    # values random collisions make the raw pair stream ~|docs|^2/2^b per
+    # chunk (tens of millions at 50k docs), and dropDuplicates was
+    # shuffling ALL of it; the bit_count filter is a per-row expression
+    # that kills >99.9% of collisions first, so the dedup shuffle carries
+    # only near-duplicates. Same result set: duplicate (a, b) rows carry
+    # identical (ha, hb), so filter and dedup commute.
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
         l.join(r, ["chunk", "val"])
         .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cands.select("a", "b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+        .select("a", "b", "hamming")
     )

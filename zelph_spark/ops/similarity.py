@@ -16,7 +16,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def dot(a, b) -> Column:
+def dot(a, b, dim: int | None = None) -> Column:
+    """Inner product. With ``dim`` known, emit the flat left-associated
+    element chain a[0]*b[0] + ... + a[dim-1]*b[dim-1]: Catalyst evaluates
+    higher-order lambdas INTERPRETED per element (guide §4.2), so the
+    aggregate(zip_with(...)) form costs ~4*dim interpreted calls per row —
+    the whole cost of a 10M-pair verify stage — while the flat chain is
+    whole-stage-codegen'd. Bit-identical results: same fold order, and the
+    lambda fold's 0.0 + t0 seed equals t0 for every float.
+    """
+    if dim is not None:
+        a = F.col(a) if isinstance(a, str) else a
+        b = F.col(b) if isinstance(b, str) else b
+        out = a[0] * b[0]
+        for i in range(1, dim):
+            out = out + a[i] * b[i]
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -24,12 +39,12 @@ def dot(a, b) -> Column:
     )
 
 
-def norm(a) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a, b, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def topk_bruteforce(
@@ -213,6 +228,11 @@ def ivf_assign(
     # (the previous row_number window shuffled the full fan-out). Same
     # ordering: -sim ascending == sim descending, ties to lowest centroid
     # (centroid_id is unique per vector so deeper struct fields never tie).
+    # PRECONDITION (documented, ADVICE r5): no zero-norm vectors or
+    # centroids. cosine() yields NaN on a zero norm, and NaN ranks FIRST
+    # under the oracle's row_number(sim DESC) but LAST under min(struct) —
+    # the two formulations agree only while every norm is positive (true of
+    # every driver/test corpus; ORACLE_SIM_IVF documents the same bound).
     best = scored.groupBy(id_col).agg(
         F.min(
             F.struct(
@@ -297,14 +317,39 @@ def embedding_near_dup_pairs(
     exact verify: (a, b, cos >= threshold), a < b. At cos 0.95 the per-plane
     agreement is ~0.9, so 8 planes x 4 tables gives ~0.9 candidate recall
     while keeping the join selective."""
+    # [r6] Two structural fixes, same lesson as the minhash candidate join
+    # (guide §8: decide with small rows, move payloads once):
+    # - the bucket table is materialized ONCE: it comes out of an Arrow
+    #   UDF (the numpy multi-table projection), and building each join
+    #   side from the lazy plan re-ran that Python stage per side;
+    # - the bucket self-join and candidate dedup handle BARE 16-byte id
+    #   pairs; the two ~0.5 KB vectors are attached to the surviving
+    #   distinct pairs afterwards, so the dedup shuffle carries ids
+    #   instead of ~n_tables x |collisions| x 1 KB of payload
+    #   (measured at 50k docs/64 dims: 25-42 s -> ~7 s, identical pairs).
     eb = lsh_buckets_multi(embeddings, n_planes, n_tables, dim, vec_col)
-    l = eb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "table", "bucket")
-    r = eb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "table", "bucket")
-    return (
-        l.join(r, ["table", "bucket"])
+    bk = eb.select(
+        F.col(id_col).alias("a"), "table", "bucket"
+    ).localCheckpoint()
+    # candidate dedup on BARE id pairs first, verify after (A/B'd both
+    # orders at replica sf1.0: verify-first reads 49-54 s because the raw
+    # multi-table collision stream then drags two 0.5 KB vectors per row
+    # through the attach joins; dedup-first reads 14-17 s)
+    pairs = (
+        bk.join(
+            bk.select(F.col("a").alias("b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
-        .withColumn("cos", F.round(cosine("va", "vb"), 6))
+    )
+    va = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", F.round(cosine("va", "vb", dim), 6))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
