@@ -86,6 +86,26 @@ def transitive_closure(
             out = out.unionByName(p)
         return out
 
+    # [r6] Broadcast the reach side while it is provably small. The pieces
+    # are checkpointed RDDs with NO size statistics, so the planner never
+    # broadcasts them: every round paid a full shuffle+sort of the entire
+    # accumulated reach for the anti-join (and again for the doubling
+    # join) even when the step was a handful of rows — the dominant cost
+    # of small/medium closures (kg_sparql_cycle: a 10k-edge graph read
+    # 26 s). Counting a just-materialized piece is one cheap job, so the
+    # loop tracks |reach| exactly and broadcast-hints both reach-side
+    # joins below the same 2M-row bound the fixpoint uses for its delta;
+    # past the bound it falls back to the shuffle plan unchanged.
+    reach_rows = [None]  # None = unknown (prepared base), disables the hint
+
+    def _reach(df):
+        if reach_rows[0] is not None and reach_rows[0] <= 2_000_000:
+            return F.broadcast(df)
+        return df
+
+    if not prepared:
+        reach_rows[0] = base.count()
+
     delta = base
     for rnd in range(max_iter):
         if method == "auto":
@@ -104,15 +124,19 @@ def transitive_closure(
         for g in group:
             on = on & (delta[g] == right[f"_g_{g}"])
         step = (
-            delta.join(right, on)
+            delta.join(_reach(right), on)
             .select(*group, "subj", F.col("_ro").alias("obj"))
             .distinct()
         )
-        new = step.join(reach_df(), on=cols, how="left_anti").localCheckpoint()
+        new = step.join(
+            _reach(reach_df()), on=cols, how="left_anti"
+        ).localCheckpoint()
         if new.isEmpty():
             return reach_df()
         pieces.append(new)
         delta = new
+        if reach_rows[0] is not None and reach_rows[0] <= 2_000_000:
+            reach_rows[0] += new.count()
     return reach_df()
 
 
