@@ -78,6 +78,13 @@ def assert_batch(
         .dropDuplicates(EDGE_COLS)
         .join(edges, on=EDGE_COLS, how="left_anti")
         .withColumn("cluster", F.lit(cluster).cast("string"))
+        # [r6] the batch delta is materialized once: it fans out into the
+        # returned edge union, the created-node membership derivation and
+        # every LATER batch's anti-join — as a lazy plan each of those
+        # consumers re-ran this batch's dedup + anti-join (and,
+        # transitively, every earlier batch's), so a 3-batch chain paid
+        # the first batch ~5x. The delta is the small side by construction.
+        .localCheckpoint()
     )
     if cluster is not None:
         created = _touched_nodes(fresh).join(
