@@ -28,7 +28,11 @@ CHAIN_PLUS = {
 
 
 @pytest.mark.parametrize("method", ["linear", "doubling"])
-def test_closure_plus(spark, method):
+def test_closure_plus(spark, method, monkeypatch):
+    # force the distributed loop so linear/doubling stay covered now that
+    # the r6 single-task fast path would otherwise absorb small graphs
+    # (the fast path has its own differential suite, test_local_closure.py)
+    monkeypatch.setattr(closure, "LOCAL_EDGE_BOUND", 0)
     got = {
         (r.subj, r.obj)
         for r in closure.transitive_closure(_pairs(spark, CHAIN), method=method).collect()

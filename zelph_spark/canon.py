@@ -24,7 +24,75 @@ the distributed-friendly equivalent of the exception, same information).
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, functions as F
+
+# [r6] Single-task components fast path (guide §4.2, same adaptive pattern
+# as closure.py's LOCAL_EDGE_BOUND): when the symmetrized same-as pair set
+# provably fits one task, the O(log n)-round shuffle loop collapses into
+# one numpy scatter-min label-propagation kernel. Past the bound the
+# distributed loop runs unchanged (the pair set is tiny relative to the
+# edge table at any scale, but the fallback keeps the 100TB posture).
+LOCAL_CC_BOUND = int(_os.environ.get("ZELPH_LOCAL_CC_EDGES", "2000000"))
+
+
+def _local_components(sym: DataFrame) -> DataFrame:
+    """Min-label components of the symmetrized edge list in ONE task.
+
+    Identical output contract to the distributed loop: one (node, comp) row
+    per distinct node in ``sym``, comp = minimum reachable node id under
+    the id type's natural order. Python string order is code-point order
+    and UTF-8 byte order preserves code points, so pandas min == Spark's
+    UTF8_BINARY min for string ids.
+    """
+    from pyspark.sql import types as T
+
+    node_t = sym.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("comp", node_t)]
+    )
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        codes, uniques = pd.factorize(
+            pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+        )
+        m = len(pdf)
+        s = codes[:m]
+        d = codes[m:]
+        n = len(uniques)
+        labels = np.arange(n, dtype=np.int64)
+        for _ in range(200):
+            old = labels.copy()
+            # propagate the smaller label across every (symmetric) edge
+            np.minimum.at(labels, s, labels[d])
+            # pointer-jump to a fixpoint: label <- label's label
+            while True:
+                nxt = labels[labels]
+                if np.array_equal(nxt, labels):
+                    break
+                labels = nxt
+            if np.array_equal(labels, old):
+                break
+        # factorize codes are first-appearance order, NOT value order, so
+        # the component representative is the per-root MIN VALUE, not the
+        # min code's value
+        u = pd.Series(uniques)
+        comp_val = u.groupby(labels).transform("min")
+        out = pd.DataFrame({"node": u, "comp": comp_val})
+        for i in range(0, len(out), 1_000_000):
+            yield out.iloc[i : i + 1_000_000]
+
+    return (
+        sym.repartition(1).mapInPandas(compute, schema=schema).localCheckpoint()
+    )
 
 
 def connected_components(
@@ -33,7 +101,8 @@ def connected_components(
     """pairs(a, b) -> (node, comp) where comp = min node id reachable.
 
     Works for any orderable id type (long or string). Converges in
-    O(log n) rounds via min-propagation + pointer jumping.
+    O(log n) rounds via min-propagation + pointer jumping; edge sets under
+    LOCAL_CC_BOUND take the single-task kernel (_local_components) instead.
     """
     if pairs.isEmpty():
         t = pairs.schema["a"].dataType.simpleString()
@@ -45,6 +114,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if LOCAL_CC_BOUND > 0 and sym.count() <= LOCAL_CC_BOUND:
+        return _local_components(sym)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

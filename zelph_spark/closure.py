@@ -23,12 +23,156 @@ splits skewed hubs.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, functions as F
 
 PAIR = ["subj", "obj"]
 
 
 AUTO_SWITCH_ROUND = 3
+
+# [r6] Single-task closure fast path (guide §4.2 "hand whole batches to
+# vectorized native libraries"): when the EDGE SET provably fits one task
+# (row-count bound, same adaptive pattern as the broadcast hints below),
+# the whole doubling loop collapses into one numpy kernel inside one
+# mapInPandas task — ~9 driver-scheduled rounds of 1-3M-row shuffles become
+# one job. Past the edge bound, or if the kernel's pair cap overflows
+# mid-computation (dense graphs whose closure explodes), the distributed
+# loop runs unchanged, so 100TB-scale inputs keep the shuffle/spill plan.
+LOCAL_EDGE_BOUND = int(_os.environ.get("ZELPH_LOCAL_CLOSURE_EDGES", "2000000"))
+LOCAL_PAIR_CAP = int(_os.environ.get("ZELPH_LOCAL_CLOSURE_CAP", "67108864"))
+_OVERFLOW_MARK = "ZELPH_LOCAL_CLOSURE_OVERFLOW"
+
+
+def _closure_kernel(src, dst, cap):
+    """Positive transitive closure of an edge list over dense int node ids.
+
+    Semi-naive LINEAR expansion (delta x base per round) via numpy
+    searchsorted merge-joins on pair keys s*n+o. In-kernel the per-round
+    overhead that the distributed loop's doubling amortizes is gone, and
+    linear generates each closure pair once per distinct last edge — the
+    minimum any semi-naive schedule does — where doubling (delta x reach)
+    measured ~15x redundant candidates on the saturated subclass graph
+    (54M raw rows deduped for 385k new pairs, ~10 s of np.unique alone)
+    and explodes quadratically on deep chains. Round count needs no
+    doubling rescue: a graph of shortest-path depth D holds >= D^2/2
+    closure pairs, so the pair cap itself bounds rounds at sqrt(2*cap)
+    (~11.6k) rounds of per-round work that shrinks with delta.
+
+    Raises OverflowError(_OVERFLOW_MARK) when any intermediate exceeds
+    ``cap`` pairs so the caller can fall back to the shuffle plan.
+    """
+    import numpy as np
+
+    if len(src) == 0:
+        return src, dst
+    n = int(max(src.max(), dst.max())) + 1
+    if n * n >= (1 << 62):  # pair-key encoding would overflow int64
+        raise OverflowError(_OVERFLOW_MARK)
+    base = np.unique(src.astype(np.int64) * n + dst.astype(np.int64))
+    # base sorted by key == sorted by subject: searchsorted-ready as-is
+    base_s = base // n
+    base_o = base % n
+    # reach = LSM-style list of sorted pieces, consolidated once at the
+    # end: a per-round union1d would re-sort the whole reach every round
+    # (O(rounds x |closure| log) — the dominant cost for deep graphs)
+    pieces = [base]
+    reach_total = len(base)
+    delta = base
+    while True:
+        da = delta // n
+        db = delta % n
+        lo = np.searchsorted(base_s, db, side="left")
+        hi = np.searchsorted(base_s, db, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total > cap:
+            raise OverflowError(_OVERFLOW_MARK)
+        if total == 0:
+            break
+        # gather build rows lo[i]:hi[i] for each delta row i (CSR-style)
+        idx = np.repeat(lo, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        new = np.unique(np.repeat(da, cnt) * n + base_o[idx])
+        # new \ reach: sorted-set difference against each piece
+        for p in pieces:
+            if len(new) == 0:
+                break
+            pos = np.searchsorted(p, new)
+            pos[pos == len(p)] = len(p) - 1
+            new = new[p[pos] != new]
+        if len(new) == 0:
+            break
+        if reach_total + len(new) > cap:
+            raise OverflowError(_OVERFLOW_MARK)
+        pieces.append(new)
+        # geometric piece merging: pieces are pairwise-disjoint sorted
+        # sets, so a merge is just sort(concat); merging while the new
+        # piece is >= half its predecessor keeps piece sizes geometric,
+        # the piece count O(log N) for the per-round set-diff scan, and
+        # TOTAL merge work O(N log N) — both a consolidate-all-every-k-
+        # rounds scheme (O(rounds x N log)) and an equal-size binary
+        # counter (never carries when piece sizes decline monotonically,
+        # as on chains) measured 10-60x slower on an 11k-deep chain
+        while len(pieces) > 1 and 2 * len(pieces[-1]) >= len(pieces[-2]):
+            b = pieces.pop()
+            a = pieces.pop()
+            pieces.append(np.sort(np.concatenate((a, b))))
+        reach_total += len(new)
+        delta = new
+    out = np.unique(np.concatenate(pieces)) if len(pieces) > 1 else pieces[0]
+    return out // n, out % n
+
+
+def _local_closure(base: DataFrame):
+    """Run _closure_kernel in one mapInPandas task over ``base``.
+
+    Returns the checkpointed closure DataFrame, or None when the kernel
+    overflowed its pair cap (caller falls back to the distributed loop).
+    Node ids of any type are densified with pandas factorize inside the
+    task; null-keyed rows pass through untouched (they never compose —
+    join equality with null is never true in the distributed plan either).
+    """
+    schema = base.schema
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        scol, ocol = pdf.columns[0], pdf.columns[1]
+        null_mask = pdf[scol].isna() | pdf[ocol].isna()
+        work = pdf[~null_mask]
+        codes, uniques = pd.factorize(
+            pd.concat([work[scol], work[ocol]], ignore_index=True)
+        )
+        m = len(work)
+        s_out, o_out = _closure_kernel(
+            codes[:m].astype(np.int64), codes[m:].astype(np.int64),
+            LOCAL_PAIR_CAP,
+        )
+        out = pd.DataFrame(
+            {scol: uniques.take(s_out), ocol: uniques.take(o_out)}
+        )
+        if null_mask.any():
+            out = pd.concat([out, pdf[null_mask]], ignore_index=True)
+        for i in range(0, len(out), 1_000_000):
+            yield out.iloc[i : i + 1_000_000]
+
+    # repartition(1) (not coalesce: coalesce would collapse the UPSTREAM
+    # scan/filter to one task too) ships the small edge set to one worker
+    out = base.repartition(1).mapInPandas(compute, schema=schema)
+    try:
+        return out.localCheckpoint()
+    except Exception as e:
+        if _OVERFLOW_MARK in str(e):
+            return None
+        raise
 
 
 def transitive_closure(
@@ -75,9 +219,20 @@ def transitive_closure(
       avg-degree."""
     group = tuple(group)
     cols = [*group, *PAIR]
+    _dbg = _os.environ.get("ZELPH_CLOSURE_DEBUG") == "1"
+    if _dbg:
+        import sys as _sys
+        import time as _time
+
+        _t0 = _time.time()
     base = (
         pairs if prepared else pairs.select(*cols).distinct().localCheckpoint()
     )
+    if _dbg:
+        print(
+            f"[closure] base build {_time.time() - _t0:.2f}s",
+            file=_sys.stderr, flush=True,
+        )
     pieces = [base]  # reach = union of pieces; each piece checkpointed once
 
     def reach_df():
@@ -105,6 +260,32 @@ def transitive_closure(
 
     if not prepared:
         reach_rows[0] = base.count()
+
+    # [r6] single-task fast path (see _closure_kernel): bounded edge sets
+    # skip the driver loop entirely; grouped closures and truncated
+    # max_iter calls keep the distributed plan (group rides split_transitive
+    # which is off by default, and a max_iter cap changes the contract)
+    if not group and max_iter >= 64 and LOCAL_EDGE_BOUND > 0:
+        n_edges = reach_rows[0] if reach_rows[0] is not None else base.count()
+        if n_edges <= LOCAL_EDGE_BOUND:
+            _dump = _os.environ.get("ZELPH_CLOSURE_DUMP_DIR")
+            if _dump:
+                import uuid as _uuid
+
+                base.write.mode("overwrite").parquet(
+                    f"{_dump}/closure_base_{n_edges}_{_uuid.uuid4().hex[:6]}"
+                )
+            if _dbg:
+                _t1 = _time.time()
+            local = _local_closure(base)
+            if _dbg:
+                print(
+                    f"[closure] local path {_time.time() - _t1:.2f}s "
+                    f"(edges={n_edges})",
+                    file=_sys.stderr, flush=True,
+                )
+            if local is not None:
+                return local
 
     delta = base
     for rnd in range(max_iter):
