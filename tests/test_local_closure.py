@@ -61,6 +61,42 @@ def test_overflow_falls_back_to_distributed(spark, monkeypatch):
     assert via_fallback == dist
 
 
+@pytest.mark.parametrize("include_start", [False, True])
+@pytest.mark.parametrize("name", ["chain", "cycle", "tree"])
+def test_seeded_targets_local_matches_distributed(
+    spark, name, include_start, monkeypatch
+):
+    edges = GRAPHS[name]
+    # seeds: two in-graph nodes + one absent node (must appear only under
+    # include_start, as (7777, 7777))
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"node": [edges[0][0], edges[-1][1], 7777]})
+    )
+
+    def run(bound):
+        monkeypatch.setattr(closure, "LOCAL_EDGE_BOUND", bound)
+        df = closure.transitive_targets(
+            _pairs(spark, edges), seeds, include_start=include_start
+        )
+        return {(r.start, r.node) for r in df.collect()}
+
+    assert run(2_000_000) == run(0)
+
+
+def test_seeded_targets_overflow_falls_back(spark, monkeypatch):
+    edges = GRAPHS["tree"]
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [2, 3]}))
+
+    def run(bound, cap=None):
+        monkeypatch.setattr(closure, "LOCAL_EDGE_BOUND", bound)
+        if cap is not None:
+            monkeypatch.setattr(closure, "LOCAL_PAIR_CAP", cap)
+        df = closure.transitive_targets(_pairs(spark, edges), seeds)
+        return {(r.start, r.node) for r in df.collect()}
+
+    assert run(2_000_000, cap=2) == run(0)
+
+
 def test_kernel_deep_chain_and_cycle_selfpairs():
     # depth-53 chain: every (i, j) with i < j; pure-kernel check, no Spark
     src = np.arange(53)

@@ -45,8 +45,13 @@ LOCAL_PAIR_CAP = int(_os.environ.get("ZELPH_LOCAL_CLOSURE_CAP", "67108864"))
 _OVERFLOW_MARK = "ZELPH_LOCAL_CLOSURE_OVERFLOW"
 
 
-def _closure_kernel(src, dst, cap):
+def _closure_kernel(src, dst, cap, seeds=None):
     """Positive transitive closure of an edge list over dense int node ids.
+
+    With ``seeds`` (an int array of start nodes), computes the seeded
+    forward closure instead: all (s, t) with s in seeds and a path s ->+ t
+    — the recurrence is identical, only the initial delta is the seed-
+    restricted slice of base (transitive_targets' first frontier).
 
     Semi-naive LINEAR expansion (delta x base per round) via numpy
     searchsorted merge-joins on pair keys s*n+o. In-kernel the per-round
@@ -74,12 +79,26 @@ def _closure_kernel(src, dst, cap):
     # base sorted by key == sorted by subject: searchsorted-ready as-is
     base_s = base // n
     base_o = base % n
+    if seeds is None:
+        first = base
+    else:
+        seeds = np.unique(seeds.astype(np.int64))
+        lo0 = np.searchsorted(base_s, seeds, side="left")
+        hi0 = np.searchsorted(base_s, seeds, side="right")
+        cnt0 = hi0 - lo0
+        tot0 = int(cnt0.sum())
+        idx0 = np.repeat(lo0, cnt0) + (
+            np.arange(tot0) - np.repeat(np.cumsum(cnt0) - cnt0, cnt0)
+        )
+        first = base[idx0]  # already sorted (gathered in base order)
+        if len(first) == 0:
+            return first, first
     # reach = LSM-style list of sorted pieces, consolidated once at the
     # end: a per-round union1d would re-sort the whole reach every round
     # (O(rounds x |closure| log) — the dominant cost for deep graphs)
-    pieces = [base]
-    reach_total = len(base)
-    delta = base
+    pieces = [first]
+    reach_total = len(first)
+    delta = first
     while True:
         da = delta // n
         db = delta % n
@@ -167,6 +186,9 @@ def _local_closure(base: DataFrame):
     # repartition(1) (not coalesce: coalesce would collapse the UPSTREAM
     # scan/filter to one task too) ships the small edge set to one worker
     out = base.repartition(1).mapInPandas(compute, schema=schema)
+    _parts = int(_os.environ.get("ZELPH_LOCAL_CLOSURE_OUT_PARTS", "0"))
+    if _parts > 1:
+        out = out.repartition(_parts)
     try:
         return out.localCheckpoint()
     except Exception as e:
@@ -258,16 +280,31 @@ def transitive_closure(
             return F.broadcast(df)
         return df
 
-    if not prepared:
-        reach_rows[0] = base.count()
-
     # [r6] single-task fast path (see _closure_kernel): bounded edge sets
-    # skip the driver loop entirely; grouped closures and truncated
-    # max_iter calls keep the distributed plan (group rides split_transitive
-    # which is off by default, and a max_iter cap changes the contract)
-    if not group and max_iter >= 64 and LOCAL_EDGE_BOUND > 0:
-        n_edges = reach_rows[0] if reach_rows[0] is not None else base.count()
-        if n_edges <= LOCAL_EDGE_BOUND:
+    # skip the driver loop entirely; grouped closures, truncated max_iter
+    # calls and null-keyed edge sets keep the distributed plan (group
+    # rides split_transitive which is off by default, a max_iter cap
+    # changes the contract, and a null-obj edge composes under a non-null
+    # join key in the shuffle plan, which the kernel's dense coding does
+    # not reproduce). The null count rides the same single agg job that
+    # sizes the edge set.
+    eligible = not group and max_iter >= 64 and LOCAL_EDGE_BOUND > 0
+    n_edges = n_nulls = None
+    if not prepared or eligible:
+        _row = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("subj").isNull() | F.col("obj").isNull(), 1
+                ).otherwise(0)
+            ).alias("nn"),
+        ).collect()[0]
+        n_edges, n_nulls = _row.n, _row.nn or 0
+    if not prepared:
+        reach_rows[0] = n_edges
+
+    if eligible:
+        if n_edges <= LOCAL_EDGE_BOUND and n_nulls == 0:
             _dump = _os.environ.get("ZELPH_CLOSURE_DUMP_DIR")
             if _dump:
                 import uuid as _uuid
@@ -332,6 +369,72 @@ def closure_with_start(pairs: DataFrame, prepared: bool = False) -> DataFrame:
     return plus.unionByName(ident).distinct()
 
 
+def _local_targets(base: DataFrame, start: DataFrame):
+    """Seeded forward closure in one mapInPandas task (r6, guide §4.2).
+
+    Same shape as :func:`_local_closure` but the kernel's initial delta is
+    the seed-restricted base slice. The seed set rides into the single
+    task as tagged rows unioned onto the edge set. Returns None when the
+    kernel overflows (caller falls back to the distributed frontier loop).
+    """
+    from pyspark.sql import types as T
+
+    subj_t = base.schema["subj"].dataType
+    obj_t = base.schema["obj"].dataType
+    seed_t = start.schema[0].dataType
+    if subj_t != obj_t or seed_t != subj_t:
+        return None  # tagged union needs one id type; fall back
+    schema = T.StructType(
+        [T.StructField("start", subj_t), T.StructField("node", obj_t)]
+    )
+    seed_col = start.columns[0]
+    tagged = base.select(
+        F.lit(0).alias("_k"), F.col("subj"), F.col("obj")
+    ).unionByName(
+        start.select(
+            F.lit(1).alias("_k"),
+            F.col(seed_col).alias("subj"),
+            F.col(seed_col).alias("obj"),
+        )
+    )
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        edges = pdf[pdf["_k"] == 0]
+        seeds = pdf[pdf["_k"] == 1]["subj"].dropna()
+        m = len(edges)
+        codes, uniques = pd.factorize(
+            pd.concat(
+                [edges["subj"], edges["obj"], seeds], ignore_index=True
+            )
+        )
+        s_out, o_out = _closure_kernel(
+            codes[:m].astype(np.int64),
+            codes[m : 2 * m].astype(np.int64),
+            LOCAL_PAIR_CAP,
+            seeds=codes[2 * m :].astype(np.int64),
+        )
+        out = pd.DataFrame(
+            {"start": uniques.take(s_out), "node": uniques.take(o_out)}
+        )
+        for i in range(0, len(out), 1_000_000):
+            yield out.iloc[i : i + 1_000_000]
+
+    out = tagged.repartition(1).mapInPandas(compute, schema=schema)
+    try:
+        return out.localCheckpoint()
+    except Exception as e:
+        if _OVERFLOW_MARK in str(e):
+            return None
+        raise
+
+
 def transitive_targets(
     pairs: DataFrame,
     start: DataFrame,
@@ -345,6 +448,27 @@ def transitive_targets(
     base = (
         pairs if prepared else pairs.select(*PAIR).distinct().localCheckpoint()
     )
+    # [r6] single-task fast path, same eligibility rules as
+    # transitive_closure (bounded edge set, no null keys)
+    if LOCAL_EDGE_BOUND > 0 and max_iter >= 64:
+        _row = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("subj").isNull() | F.col("obj").isNull(), 1
+                ).otherwise(0)
+            ).alias("nn"),
+        ).collect()[0]
+        if _row.n <= LOCAL_EDGE_BOUND and (_row.nn or 0) == 0:
+            visited = _local_targets(base, start)
+            if visited is not None:
+                if include_start:
+                    seeds = start.select(
+                        F.col(start.columns[0]).alias("start"),
+                        F.col(start.columns[0]).alias("node"),
+                    )
+                    visited = visited.unionByName(seeds).distinct()
+                return visited
     frontier = (
         start.select(F.col("node").alias("subj"))
         .distinct()
