@@ -97,6 +97,63 @@ def test_seeded_targets_overflow_falls_back(spark, monkeypatch):
     assert run(2_000_000, cap=2) == run(0)
 
 
+@pytest.mark.parametrize("name", ["chain", "cycle", "tree", "hub"])
+def test_closure_image_local_matches_fallback(spark, name, monkeypatch):
+    edges = GRAPHS[name]
+    # facts on some closure targets, some absent nodes, plus duplicates
+    nodes = sorted({n for e in edges for n in e})
+    fact_rows = [(nodes[i], 10_000 + i) for i in range(0, len(nodes), 3)]
+    fact_rows += [(8888, 1), (nodes[0], 10_000)]  # absent K; duplicate P
+    facts = spark.createDataFrame(
+        pd.DataFrame(fact_rows, columns=["subj", "obj"])
+    )
+
+    def run(bound):
+        monkeypatch.setattr(closure, "LOCAL_EDGE_BOUND", bound)
+        df = closure.closure_image(_pairs(spark, edges), facts)
+        return {(r.subj, r.obj) for r in df.collect()}
+
+    local = run(2_000_000)
+    fallback = run(0)
+    assert local == fallback
+    # cross-check against the unfused plan
+    monkeypatch.setattr(closure, "LOCAL_EDGE_BOUND", 0)
+    clo = closure.transitive_closure(_pairs(spark, edges))
+    import pyspark.sql.functions as F
+
+    right = facts.select(F.col("subj").alias("_k"), "obj")
+    manual = {
+        (r.subj, r.obj)
+        for r in clo.select("subj", F.col("obj").alias("_k"))
+        .join(right, "_k")
+        .select("subj", "obj")
+        .distinct()
+        .collect()
+    }
+    assert local == manual
+
+
+def test_closure_image_overflow_falls_back(spark, monkeypatch):
+    edges = GRAPHS["tree"]
+    facts = spark.createDataFrame(
+        pd.DataFrame([(i, 9000 + i) for i in range(2, 60)],
+                     columns=["subj", "obj"])
+    )
+    monkeypatch.setattr(closure, "LOCAL_EDGE_BOUND", 2_000_000)
+    monkeypatch.setattr(closure, "LOCAL_PAIR_CAP", 5)
+    via_fallback = {
+        (r.subj, r.obj)
+        for r in closure.closure_image(_pairs(spark, edges), facts).collect()
+    }
+    monkeypatch.setattr(closure, "LOCAL_EDGE_BOUND", 0)
+    monkeypatch.setattr(closure, "LOCAL_PAIR_CAP", 67108864)
+    dist = {
+        (r.subj, r.obj)
+        for r in closure.closure_image(_pairs(spark, edges), facts).collect()
+    }
+    assert via_fallback == dist
+
+
 def test_kernel_deep_chain_and_cycle_selfpairs():
     # depth-53 chain: every (i, j) with i < j; pure-kernel check, no Spark
     src = np.arange(53)

@@ -369,6 +369,138 @@ def closure_with_start(pairs: DataFrame, prepared: bool = False) -> DataFrame:
     return plus.unionByName(ident).distinct()
 
 
+def _image_kernel(es, eo, fs, fo, cap):
+    """Image of the transitive closure: all (X, P) with X ->+ K over the
+    (es, eo) edge list and (K, P) in the (fs, fo) fact list, without
+    materializing the closure outside this function. Dense int ids.
+    Raises OverflowError(_OVERFLOW_MARK) past ``cap`` (see _closure_kernel).
+    """
+    import numpy as np
+
+    cs, co = _closure_kernel(es, eo, cap)
+    if len(cs) == 0 or len(fs) == 0:
+        return cs[:0], co[:0]
+    # facts CSR sorted by K
+    order = np.argsort(fs, kind="stable")
+    fs_sorted = fs[order]
+    fo_sorted = fo[order]
+    lo = np.searchsorted(fs_sorted, co, side="left")
+    hi = np.searchsorted(fs_sorted, co, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total > cap:
+        raise OverflowError(_OVERFLOW_MARK)
+    if total == 0:
+        return cs[:0], co[:0]
+    idx = np.repeat(lo, cnt) + (
+        np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    )
+    n = int(max(int(cs.max()), int(fo_sorted.max()))) + 1
+    if n * n >= (1 << 62):
+        raise OverflowError(_OVERFLOW_MARK)
+    img = np.unique(np.repeat(cs, cnt) * n + fo_sorted[idx])
+    return img // n, img % n
+
+
+def closure_image(pairs: DataFrame, facts: DataFrame) -> DataFrame:
+    """DISTINCT (X, P) such that X ->+ K over ``pairs`` and (K, P) in
+    ``facts`` — the chain-inheritance image s+ ⨝ p-facts (fixpoint.py
+    split_inherit) WITHOUT materializing s+ when the single-task path is
+    eligible: the multi-million-pair closure is an intermediate only, so
+    shipping it out of the kernel task and shuffling it into a join costs
+    more than the image itself. Falls back to
+    ``transitive_closure(pairs) ⨝ facts`` (the r6-start plan) when the
+    edge set exceeds the bound, carries null keys, or the kernel
+    overflows. Both inputs are (subj, obj) DataFrames of one id type;
+    null-keyed FACT rows are ignored on both paths.
+    """
+    from pyspark.sql import types as T
+
+    subj_t = pairs.schema["subj"].dataType
+    types = {
+        subj_t, pairs.schema["obj"].dataType,
+        facts.schema["subj"].dataType, facts.schema["obj"].dataType,
+    }
+    eligible = LOCAL_EDGE_BOUND > 0 and len(types) == 1
+    base = pairs.select(*PAIR).distinct().localCheckpoint()
+    if eligible:
+        _row = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("subj").isNull() | F.col("obj").isNull(), 1
+                ).otherwise(0)
+            ).alias("nn"),
+        ).collect()[0]
+        if _row.n <= LOCAL_EDGE_BOUND and (_row.nn or 0) == 0:
+            schema = T.StructType(
+                [
+                    T.StructField("subj", subj_t),
+                    T.StructField("obj", facts.schema["obj"].dataType),
+                ]
+            )
+            tagged = base.select(
+                F.lit(0).alias("_k"), F.col("subj"), F.col("obj")
+            ).unionByName(
+                facts.select(
+                    F.lit(1).alias("_k"), F.col("subj"), F.col("obj")
+                ).where(
+                    F.col("subj").isNotNull() & F.col("obj").isNotNull()
+                )
+            )
+
+            def compute(batches):
+                import numpy as np
+                import pandas as pd
+
+                parts = [b for b in batches]
+                if not parts:
+                    return
+                pdf = pd.concat(parts, ignore_index=True)
+                edges = pdf[pdf["_k"] == 0]
+                fact = pdf[pdf["_k"] == 1]
+                m = len(edges)
+                codes, uniques = pd.factorize(
+                    pd.concat(
+                        [
+                            edges["subj"], edges["obj"],
+                            fact["subj"], fact["obj"],
+                        ],
+                        ignore_index=True,
+                    )
+                )
+                k = len(fact)
+                s_out, o_out = _image_kernel(
+                    codes[:m].astype(np.int64),
+                    codes[m : 2 * m].astype(np.int64),
+                    codes[2 * m : 2 * m + k].astype(np.int64),
+                    codes[2 * m + k :].astype(np.int64),
+                    LOCAL_PAIR_CAP,
+                )
+                out = pd.DataFrame(
+                    {"subj": uniques.take(s_out), "obj": uniques.take(o_out)}
+                )
+                for i in range(0, len(out), 1_000_000):
+                    yield out.iloc[i : i + 1_000_000]
+
+            out = tagged.repartition(1).mapInPandas(compute, schema=schema)
+            try:
+                return out.localCheckpoint()
+            except Exception as e:
+                if _OVERFLOW_MARK not in str(e):
+                    raise
+    clo = transitive_closure(base, prepared=True)
+    right = facts.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select(F.col("subj").alias("_k"), F.col("obj").alias("obj"))
+    return (
+        clo.select("subj", F.col("obj").alias("_k"))
+        .join(right, "_k")
+        .select("subj", "obj")
+        .distinct()
+    )
+
+
 def _local_targets(base: DataFrame, start: DataFrame):
     """Seeded forward closure in one mapInPandas task (r6, guide §4.2).
 

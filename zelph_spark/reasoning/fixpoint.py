@@ -822,6 +822,43 @@ def _run_fixpoint_inner(
                 todo_full = [inherit_full_needed[sp] for sp in todo]
                 for sp in todo:
                     clo = inherit_clo.get(sp.s)
+                    if clo is None and inherit_full_needed[sp]:
+                        # [r6] FULL injection with no cached closure: the
+                        # fused closure_image computes s+ ⨝ p inside one
+                        # task without materializing the multi-million-row
+                        # s+ (or falls back to the closure+join plan past
+                        # its bounds). inherit_clo stays unpopulated — a
+                        # later incremental injection for this spec
+                        # computes the closure then (rare: only shared-p
+                        # ping-pong or new s facts reach that path).
+                        from ..closure import closure_image
+
+                        _pf = (
+                            "spark.sql.adaptive.coalescePartitions."
+                            "parallelismFirst"
+                        )
+                        spark.conf.set(_pf, "true")
+                        _tc = _time.time()
+                        try:
+                            img = closure_image(
+                                full.filter(
+                                    F.col("pred") == F.lit(sp.s)
+                                ).select("subj", "obj"),
+                                full.filter(
+                                    F.col("pred") == F.lit(sp.p)
+                                ).select("subj", "obj"),
+                            )
+                        finally:
+                            spark.conf.set(_pf, "false")
+                        clo_sec += _time.time() - _tc
+                        cands.append(
+                            img.select(
+                                "subj", F.lit(sp.p).alias("pred"), "obj"
+                            )
+                        )
+                        inherit_full_needed[sp] = False
+                        inherit_pending[sp] = []
+                        continue
                     if clo is None:
                         # the loop's size-first AQE coalescing (right for the
                         # tiny tail-round shuffles) starves the closure's
