@@ -69,7 +69,7 @@ def _local_components(sym: DataFrame) -> DataFrame:
         d = codes[m:]
         n = len(uniques)
         labels = np.arange(n, dtype=np.int64)
-        for _ in range(200):
+        while True:  # terminates: labels decrease monotonically per pass
             old = labels.copy()
             # propagate the smaller label across every (symmetric) edge
             np.minimum.at(labels, s, labels[d])
