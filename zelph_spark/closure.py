@@ -43,6 +43,40 @@ AUTO_SWITCH_ROUND = 3
 LOCAL_EDGE_BOUND = int(_os.environ.get("ZELPH_LOCAL_CLOSURE_EDGES", "2000000"))
 LOCAL_PAIR_CAP = int(_os.environ.get("ZELPH_LOCAL_CLOSURE_CAP", "67108864"))
 _OVERFLOW_MARK = "ZELPH_LOCAL_CLOSURE_OVERFLOW"
+_OVERFLOW_MARK_IMG = "ZELPH_LOCAL_CLOSURE_IMAGE_OVERFLOW"
+
+
+def _count_and_nulls(df: DataFrame) -> tuple:
+    """One agg job over a (subj, obj) DF: (row count, null-keyed rows)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("subj").isNull() | F.col("obj").isNull(), 1
+            ).otherwise(0)
+        ).alias("nn"),
+    ).collect()[0]
+    return row.n, row.nn or 0
+
+
+def _run_one_task(df: DataFrame, compute, schema) -> tuple:
+    """repartition(1) + mapInPandas + eager checkpoint for the kernel
+    fast paths. repartition, not coalesce: coalesce(1) would collapse the
+    UPSTREAM scan/filter to one task too. Returns (result, None) or, when
+    the kernel raised an overflow mark, (None, mark) so the caller can
+    fall back to its distributed plan. Cluster note: a deterministic
+    overflow failure is retried spark.task.maxFailures times before
+    surfacing (local mode fails fast); the caps are sized so overflow is
+    the rare path."""
+    out = df.repartition(1).mapInPandas(compute, schema=schema)
+    try:
+        return out.localCheckpoint(), None
+    except Exception as e:
+        s = str(e)
+        for m in (_OVERFLOW_MARK_IMG, _OVERFLOW_MARK):
+            if m in s:
+                return None, m
+        raise
 
 
 def _closure_kernel(src, dst, cap, seeds=None):
@@ -154,7 +188,6 @@ def _local_closure(base: DataFrame):
     task; null-keyed rows pass through untouched (they never compose —
     join equality with null is never true in the distributed plan either).
     """
-    schema = base.schema
 
     def compute(batches):
         import numpy as np
@@ -183,18 +216,7 @@ def _local_closure(base: DataFrame):
         for i in range(0, len(out), 1_000_000):
             yield out.iloc[i : i + 1_000_000]
 
-    # repartition(1) (not coalesce: coalesce would collapse the UPSTREAM
-    # scan/filter to one task too) ships the small edge set to one worker
-    out = base.repartition(1).mapInPandas(compute, schema=schema)
-    _parts = int(_os.environ.get("ZELPH_LOCAL_CLOSURE_OUT_PARTS", "0"))
-    if _parts > 1:
-        out = out.repartition(_parts)
-    try:
-        return out.localCheckpoint()
-    except Exception as e:
-        if _OVERFLOW_MARK in str(e):
-            return None
-        raise
+    return _run_one_task(base, compute, base.schema)[0]
 
 
 def transitive_closure(
@@ -203,6 +225,8 @@ def transitive_closure(
     max_iter: int = 64,
     prepared: bool = False,
     group: tuple = (),
+    local_ok: bool = True,
+    sized: tuple | None = None,
 ) -> DataFrame:
     """All (subj, obj) with a directed path subj ->+ obj ('+' closure).
 
@@ -223,6 +247,11 @@ def transitive_closure(
     once: per-round job count stays constant in the group count and rounds
     are log(max diameter over groups). Used by the fixpoint's transitive-
     predicate acceleration.
+
+    ``local_ok=False`` skips the single-task fast path (a caller whose own
+    kernel already overflowed passes this so the doomed kernel is not
+    re-run); ``sized=(n_rows, n_null_rows)`` hands over an already-known
+    base size so the sizing agg is not repeated.
 
     [r6] Two structural costs of the original loop removed (guide §2.3/§2.4):
 
@@ -288,19 +317,18 @@ def transitive_closure(
     # join key in the shuffle plan, which the kernel's dense coding does
     # not reproduce). The null count rides the same single agg job that
     # sizes the edge set.
-    eligible = not group and max_iter >= 64 and LOCAL_EDGE_BOUND > 0
+    eligible = (
+        not group and max_iter >= 64 and LOCAL_EDGE_BOUND > 0 and local_ok
+    )
     n_edges = n_nulls = None
-    if not prepared or eligible:
-        _row = base.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(
-                    F.col("subj").isNull() | F.col("obj").isNull(), 1
-                ).otherwise(0)
-            ).alias("nn"),
-        ).collect()[0]
-        n_edges, n_nulls = _row.n, _row.nn or 0
-    if not prepared:
+    if sized is not None:
+        n_edges, n_nulls = sized
+    elif not prepared or eligible:
+        n_edges, n_nulls = _count_and_nulls(base)
+    if n_edges is not None:
+        # a known size also enables the reach broadcast hint for prepared
+        # bases whose fast path declines (nulls/overflow) — the fallback
+        # loop would otherwise run unhinted
         reach_rows[0] = n_edges
 
     if eligible:
@@ -373,7 +401,10 @@ def _image_kernel(es, eo, fs, fo, cap):
     """Image of the transitive closure: all (X, P) with X ->+ K over the
     (es, eo) edge list and (K, P) in the (fs, fo) fact list, without
     materializing the closure outside this function. Dense int ids.
-    Raises OverflowError(_OVERFLOW_MARK) past ``cap`` (see _closure_kernel).
+    Raises OverflowError past ``cap``: _OVERFLOW_MARK from the closure
+    stage (the closure itself does not fit — retrying it locally is
+    pointless), _OVERFLOW_MARK_IMG from the image stage (the closure
+    fits; only the fused gather overflowed).
     """
     import numpy as np
 
@@ -389,7 +420,7 @@ def _image_kernel(es, eo, fs, fo, cap):
     cnt = hi - lo
     total = int(cnt.sum())
     if total > cap:
-        raise OverflowError(_OVERFLOW_MARK)
+        raise OverflowError(_OVERFLOW_MARK_IMG)
     if total == 0:
         return cs[:0], co[:0]
     idx = np.repeat(lo, cnt) + (
@@ -397,7 +428,7 @@ def _image_kernel(es, eo, fs, fo, cap):
     )
     n = int(max(int(cs.max()), int(fo_sorted.max()))) + 1
     if n * n >= (1 << 62):
-        raise OverflowError(_OVERFLOW_MARK)
+        raise OverflowError(_OVERFLOW_MARK_IMG)
     img = np.unique(np.repeat(cs, cnt) * n + fo_sorted[idx])
     return img // n, img % n
 
@@ -423,16 +454,12 @@ def closure_image(pairs: DataFrame, facts: DataFrame) -> DataFrame:
     }
     eligible = LOCAL_EDGE_BOUND > 0 and len(types) == 1
     base = pairs.select(*PAIR).distinct().localCheckpoint()
+    sized = None
+    closure_overflowed = False
     if eligible:
-        _row = base.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(
-                    F.col("subj").isNull() | F.col("obj").isNull(), 1
-                ).otherwise(0)
-            ).alias("nn"),
-        ).collect()[0]
-        if _row.n <= LOCAL_EDGE_BOUND and (_row.nn or 0) == 0:
+        sized = _count_and_nulls(base)
+        n_edges, n_nulls = sized
+        if n_edges <= LOCAL_EDGE_BOUND and n_nulls == 0:
             schema = T.StructType(
                 [
                     T.StructField("subj", subj_t),
@@ -483,13 +510,18 @@ def closure_image(pairs: DataFrame, facts: DataFrame) -> DataFrame:
                 for i in range(0, len(out), 1_000_000):
                     yield out.iloc[i : i + 1_000_000]
 
-            out = tagged.repartition(1).mapInPandas(compute, schema=schema)
-            try:
-                return out.localCheckpoint()
-            except Exception as e:
-                if _OVERFLOW_MARK not in str(e):
-                    raise
-    clo = transitive_closure(base, prepared=True)
+            result, mark = _run_one_task(tagged, compute, schema)
+            if result is not None:
+                return result
+            # closure-stage overflow: the same kernel inside
+            # transitive_closure would grind to the identical overflow —
+            # skip straight to the distributed loop. Image-stage overflow:
+            # the closure itself fits, so its fast path stays worthwhile
+            # and only the join goes distributed.
+            closure_overflowed = mark == _OVERFLOW_MARK
+    clo = transitive_closure(
+        base, prepared=True, local_ok=not closure_overflowed, sized=sized
+    )
     right = facts.where(
         F.col("subj").isNotNull() & F.col("obj").isNotNull()
     ).select(F.col("subj").alias("_k"), F.col("obj").alias("obj"))
@@ -508,16 +540,14 @@ def _local_targets(base: DataFrame, start: DataFrame):
     the seed-restricted base slice. The seed set rides into the single
     task as tagged rows unioned onto the edge set. Returns None when the
     kernel overflows (caller falls back to the distributed frontier loop).
+    The caller guarantees subj/obj/seed share one id type (the tagged
+    union needs it).
     """
     from pyspark.sql import types as T
 
     subj_t = base.schema["subj"].dataType
-    obj_t = base.schema["obj"].dataType
-    seed_t = start.schema[0].dataType
-    if subj_t != obj_t or seed_t != subj_t:
-        return None  # tagged union needs one id type; fall back
     schema = T.StructType(
-        [T.StructField("start", subj_t), T.StructField("node", obj_t)]
+        [T.StructField("start", subj_t), T.StructField("node", subj_t)]
     )
     seed_col = start.columns[0]
     tagged = base.select(
@@ -558,13 +588,7 @@ def _local_targets(base: DataFrame, start: DataFrame):
         for i in range(0, len(out), 1_000_000):
             yield out.iloc[i : i + 1_000_000]
 
-    out = tagged.repartition(1).mapInPandas(compute, schema=schema)
-    try:
-        return out.localCheckpoint()
-    except Exception as e:
-        if _OVERFLOW_MARK in str(e):
-            return None
-        raise
+    return _run_one_task(tagged, compute, schema)[0]
 
 
 def transitive_targets(
@@ -581,17 +605,17 @@ def transitive_targets(
         pairs if prepared else pairs.select(*PAIR).distinct().localCheckpoint()
     )
     # [r6] single-task fast path, same eligibility rules as
-    # transitive_closure (bounded edge set, no null keys)
-    if LOCAL_EDGE_BOUND > 0 and max_iter >= 64:
-        _row = base.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(
-                    F.col("subj").isNull() | F.col("obj").isNull(), 1
-                ).otherwise(0)
-            ).alias("nn"),
-        ).collect()[0]
-        if _row.n <= LOCAL_EDGE_BOUND and (_row.nn or 0) == 0:
+    # transitive_closure (bounded edge set, no null keys) plus one id
+    # type across subj/obj/seed — checked BEFORE the sizing agg so a
+    # type mismatch costs no job
+    if (
+        LOCAL_EDGE_BOUND > 0
+        and max_iter >= 64
+        and base.schema["subj"].dataType == base.schema["obj"].dataType
+        and start.schema[0].dataType == base.schema["subj"].dataType
+    ):
+        n_edges, n_nulls = _count_and_nulls(base)
+        if n_edges <= LOCAL_EDGE_BOUND and n_nulls == 0:
             visited = _local_targets(base, start)
             if visited is not None:
                 if include_start:

@@ -820,9 +820,18 @@ def _run_fixpoint_inner(
                 clo_sec = 0.0
                 cands = []
                 todo_full = [inherit_full_needed[sp] for sp in todo]
+                # when several FULL specs share one s-predicate, fusing
+                # would recompute the s+ closure once per spec; the cached
+                # transitive_closure path amortizes it across them instead
+                _full_s = [sp.s for sp in todo if inherit_full_needed[sp]]
+                _shared_s = {s for s in _full_s if _full_s.count(s) > 1}
                 for sp in todo:
                     clo = inherit_clo.get(sp.s)
-                    if clo is None and inherit_full_needed[sp]:
+                    if (
+                        clo is None
+                        and inherit_full_needed[sp]
+                        and sp.s not in _shared_s
+                    ):
                         # [r6] FULL injection with no cached closure: the
                         # fused closure_image computes s+ ⨝ p inside one
                         # task without materializing the multi-million-row
@@ -887,7 +896,12 @@ def _run_fixpoint_inner(
                         src = spark.read.parquet(
                             *inherit_pending[sp]
                         ).filter(F.col("pred") == F.lit(sp.p))
-                    src = src.select(
+                    # null-keyed fact rows are ignored — keeps this branch
+                    # consistent with closure_image (engine facts are
+                    # non-null by construction, so this filters nothing)
+                    src = src.where(
+                        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+                    ).select(
                         F.col("subj").alias("_k"), F.col("obj").alias("obj")
                     )
                     cands.append(
